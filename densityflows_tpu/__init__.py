@@ -1,0 +1,65 @@
+"""densityflows_tpu — a TPU-native normalizing-flow density-estimation engine.
+
+Brand-new JAX/XLA/Pallas/pjit framework with the capabilities of the
+reference ``gaetanfacchinetti/DensityFlows.jl`` (surveyed in
+/root/repo/SURVEY.md), redesigned TPU-first:
+
+- functional pytree layers with static masks (no macros, no mutation),
+- row-major ``(batch..., d)`` layout, batch axis sharded on a device mesh,
+- one jitted program per entry point (train step, sampling sweep, density),
+- fused Pallas coupling kernels for the hot shapes (``ops.pallas_coupling``),
+- data-parallel training via GSPMD NamedSharding + XLA collectives.
+
+Public API parity map (reference export → here) in README.md.
+"""
+
+from .axes import CouplingAxes, coupling_axes, reverse_axes, is_reverse
+from .data import (
+    DataArrays,
+    DataPartition,
+    MetaData,
+    dflt_theta,
+    maximum_theta,
+    minimum_theta,
+    normalize_input,
+    number_conditions,
+    number_dimensions,
+    resize_output,
+)
+from .models.blocks import CouplingBlock, coupling_block
+from .models.chains import FlowChain, concatenate, flow_chain
+from .models.distributions import DiagNormal, StandardNormal
+from .models.flow import Flow, nll_loss
+from .models.layers import NICECouplingLayer, RNVPCouplingLayer, coupling_layer
+from .models.normalization import NormalizationLayer, normalization_layer
+from .ops.coupling import (
+    nice_backward,
+    nice_forward,
+    rnvp_backward,
+    rnvp_forward,
+)
+from .ops.mlp import MLP, apply_mlp, init_mlp
+from .train import train, make_train_step
+
+__version__ = "0.1.0"
+
+__all__ = [
+    # axes
+    "CouplingAxes", "coupling_axes", "reverse_axes", "is_reverse",
+    # data
+    "DataArrays", "DataPartition", "MetaData", "dflt_theta",
+    "minimum_theta", "maximum_theta", "normalize_input", "resize_output",
+    "number_dimensions", "number_conditions",
+    # ops
+    "MLP", "init_mlp", "apply_mlp",
+    "rnvp_forward", "rnvp_backward", "nice_forward", "nice_backward",
+    # models
+    "RNVPCouplingLayer", "NICECouplingLayer", "coupling_layer",
+    "NormalizationLayer", "normalization_layer",
+    "CouplingBlock", "coupling_block",
+    "FlowChain", "flow_chain", "concatenate",
+    "StandardNormal", "DiagNormal",
+    "Flow", "nll_loss",
+    # training
+    "train", "make_train_step",
+]

@@ -1,0 +1,231 @@
+"""The Flow engine: model + base distribution + θ-metadata + histories.
+
+TPU-native counterpart of the reference ``Flow`` wrapper and its
+density/sampling API (/root/reference/src/Flows.jl). Semantic parity:
+
+- θ is min-max normalized to [0,1] **exactly once, at the Flow boundary**,
+  using metadata captured from the data (the ``@flow_wrapper`` semantics,
+  src/Macros.jl:104-112; SURVEY.md §2.4.3);
+- every API has an unconditional form — ``theta=None`` plays the role of
+  the zero-width ``dflt_θ`` sentinel (src/Macros.jl:126-128);
+- ``sample`` = base draw → ldj-free forward sweep (the reference's
+  in-place ``forward!`` path, src/Flows.jl:157-172) — here a single jitted
+  donated-buffer program;
+- ``log_prob`` = base.log_prob(inverse(x)) + ldj (src/Flows.jl:272-281),
+  with the grid variant over per-axis vectors (src/Flows.jl:287-331);
+- loss = −mean(base.log_prob(z) + ldj) (src/Flows.jl:352-359);
+- train/valid loss histories live on the Flow (src/Flows.jl:44-45).
+
+The Flow object itself is a thin mutable host-side handle (histories
+append during training; the model is swapped after each epoch); all device
+compute goes through module-level jitted pure functions so jit caches are
+shared across Flow instances with the same architecture.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataArrays, MetaData, normalize_input
+from .chains import FlowChain
+from .distributions import StandardNormal
+
+__all__ = ["Flow", "nll_loss"]
+
+
+def nll_loss(model, base, x, theta):
+    """Forward-KL NLL: −mean(base.log_prob(z) + ldj) over the batch
+    (reference ``loss``, src/Flows.jl:352-359)."""
+    z, ldj = model.inverse(x, theta)
+    return -jnp.mean(base.log_prob(z) + ldj)
+
+
+@partial(jax.jit, donate_argnums=(2,))
+def _sample_program(model, base_stub, r, theta):
+    """Donated-buffer sampling sweep: the jitted analogue of the reference's
+    in-place ``forward!`` chain fold (src/Flows.jl:157-172,
+    src/Chains.jl:187-197). ``r`` (the base draw) is donated so XLA reuses
+    its buffer through the whole chain."""
+    del base_stub
+    return model.forward_(r, theta)
+
+
+@jax.jit
+def _log_prob_program(model, base, x, theta):
+    z, ldj = model.inverse(x, theta)
+    return base.log_prob(z) + ldj
+
+
+@jax.jit
+def _forward_program(model, z, theta):
+    return model.forward(z, theta)
+
+
+@jax.jit
+def _inverse_program(model, x, theta):
+    return model.inverse(x, theta)
+
+
+class Flow:
+    """Flow = model chain + base distribution + θ-metadata + loss histories
+    (reference ``Flow`` struct, src/Flows.jl:37-47)."""
+
+    def __init__(
+        self,
+        model: FlowChain,
+        data_or_metadata,
+        base=None,
+        train_loss: list | None = None,
+        valid_loss: list | None = None,
+    ):
+        if isinstance(data_or_metadata, DataArrays):
+            metadata = data_or_metadata.metadata()
+        elif isinstance(data_or_metadata, MetaData):
+            metadata = data_or_metadata
+        else:
+            raise TypeError("pass a DataArrays or a MetaData")
+        self.model = model
+        self.metadata = metadata
+        self.base = base if base is not None else StandardNormal(metadata.d)
+        self.train_loss: list[float] = list(train_loss or [])
+        self.valid_loss: list[float] = list(valid_loss or [])
+        # device-resident θ bounds for boundary normalization
+        self._theta_min = jnp.asarray(metadata.theta_min)
+        self._theta_max = jnp.asarray(metadata.theta_max)
+
+    # -- θ boundary handling (the @flow_wrapper + @unconditional_wrapper
+    #    semantics, src/Macros.jl:104-128) --------------------------------
+    def prepare_theta(self, theta, batch_shape, dtype=jnp.float32):
+        """Broadcast θ to (batch..., n) and min-max normalize it to [0,1].
+
+        Accepts ``None`` (unconditional: zero-width sentinel), a
+        scalar/tuple of n values (one θ for every sample, the reference's
+        NTuple path, src/Flows.jl:174-185), or an array of shape
+        (batch..., n).
+        """
+        n = self.metadata.n
+        batch_shape = tuple(batch_shape)
+        if theta is None:
+            return jnp.zeros(batch_shape + (0,), dtype)
+        if isinstance(theta, (int, float)):
+            theta = (theta,)
+        if isinstance(theta, (tuple, list)) or (
+            hasattr(theta, "ndim") and np.ndim(theta) <= 1
+            and np.shape(theta) in ((n,), ())
+            and batch_shape != np.shape(theta)
+        ):
+            vec = jnp.asarray(theta, dtype).reshape(-1)
+            if vec.shape[0] != n:
+                raise ValueError(f"theta must have {n} entries, got {vec.shape[0]}")
+            theta = jnp.broadcast_to(vec, batch_shape + (n,))
+        else:
+            theta = jnp.asarray(theta, dtype)
+            if theta.shape != batch_shape + (n,):
+                raise ValueError(
+                    f"theta shape {theta.shape} must be {batch_shape + (n,)}"
+                )
+        if n == 0:
+            return theta
+        return normalize_input(theta, self._theta_min.astype(dtype),
+                               self._theta_max.astype(dtype))
+
+    # -- transforms -------------------------------------------------------
+    def forward(self, z, theta=None):
+        """latent → data with ldj, θ normalized at the boundary."""
+        z = jnp.asarray(z)
+        return _forward_program(
+            self.model, z, self.prepare_theta(theta, z.shape[:-1], z.dtype)
+        )
+
+    def inverse(self, x, theta=None):
+        """data → latent with ldj (the reference's Flow-level ``backward``)."""
+        x = jnp.asarray(x)
+        return _inverse_program(
+            self.model, x, self.prepare_theta(theta, x.shape[:-1], x.dtype)
+        )
+
+    # reference alias (direction naming per SURVEY.md §2.4.4)
+    backward = inverse
+
+    def predict(self, z, theta=None):
+        """Transformed sample without ldj (reference ``predict``,
+        src/Flows.jl:126)."""
+        return self.forward(z, theta)[0]
+
+    # -- sampling ---------------------------------------------------------
+    def sample(self, dims, theta=None, *, key=None, dtype=jnp.float32):
+        """Draw samples of shape (*dims, d) (reference ``sample``,
+        src/Flows.jl:157-192; layout flipped from (d, dims...)).
+
+        ``theta``: None, a tuple of n scalars (shared by all draws), or an
+        array of shape (*dims, n).
+        """
+        if isinstance(dims, int):
+            dims = (dims,)
+        dims = tuple(int(s) for s in dims)
+        if key is None:
+            key = jax.random.key(np.random.randint(0, 2**31 - 1))
+        r = self.base.sample(key, dims, dtype)
+        theta_n = self.prepare_theta(theta, dims, dtype)
+        return _sample_program(self.model, None, r, theta_n)
+
+    # -- densities --------------------------------------------------------
+    def log_prob(self, x, theta=None):
+        """log pdf at x (reference ``logpdf``, src/Flows.jl:272-281).
+
+        ``x`` may also be a tuple of d per-axis vectors — then the log-pdf
+        is evaluated on the full tensor-product grid and returned with
+        shape (len(x[0]), ..., len(x[d-1])) (src/Flows.jl:287-331); in that
+        form a conditional flow requires θ as a tuple of n scalars.
+        """
+        if isinstance(x, (tuple, list)) and all(
+            np.ndim(v) == 1 for v in x
+        ):
+            return self._log_prob_grid(tuple(x), theta)
+        x = jnp.asarray(x)
+        return _log_prob_program(
+            self.model, self.base, x,
+            self.prepare_theta(theta, x.shape[:-1], x.dtype),
+        )
+
+    def _log_prob_grid(self, axes_vectors: tuple, theta):
+        d = self.metadata.d
+        if len(axes_vectors) != d:
+            raise ValueError(f"grid must have {d} axis vectors")
+        grids = jnp.meshgrid(*[jnp.asarray(v) for v in axes_vectors],
+                             indexing="ij")
+        pts = jnp.stack([g.reshape(-1) for g in grids], axis=-1)
+        lp = self.log_prob(pts, theta)
+        return lp.reshape([len(v) for v in axes_vectors])
+
+    def prob(self, x, theta=None):
+        """pdf = exp(log_prob) (reference ``pdf``, src/Flows.jl:345-349)."""
+        return jnp.exp(self.log_prob(x, theta))
+
+    # reference-name aliases
+    logpdf = log_prob
+    pdf = prob
+
+    # -- histories --------------------------------------------------------
+    @property
+    def training_loss(self) -> list[float]:
+        """Training-loss history (reference src/Flows.jl:60)."""
+        return self.train_loss
+
+    @property
+    def validation_loss(self) -> list[float]:
+        """Validation-loss history (reference src/Flows.jl:63)."""
+        return self.valid_loss
+
+    def summarize(self) -> str:
+        return (
+            "- model --------------------\n"
+            + self.model.summarize()
+            + "\n- base distribution --------\n"
+            + type(self.base).__name__
+        )

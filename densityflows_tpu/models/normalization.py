@@ -1,0 +1,93 @@
+"""Non-trainable normalization layer pinned to the data range.
+
+TPU-native counterpart of the reference ``NormalizationLayer``
+(/root/reference/src/norm/Normalization.jl:30-103): a per-dim affine
+rescale mapping ``[x_min, x_max] → [α, β]`` in the inverse (data→latent)
+direction with a constant log-det-Jacobian, typically placed LAST in a
+chain to tame exp-overflow NaNs (docs/src/documentation.md:61). bf16 makes
+that failure mode sharper, so the ldj is always accumulated in fp32.
+
+Non-trainability: the reference marks ``trainable=()``
+(Normalization.jl:61); here ``x_min``/``x_max`` are wrapped in
+``jax.lax.stop_gradient`` inside the apply, so their gradients are exactly
+zero and any optax optimizer leaves them untouched — no trainable/frozen
+partition machinery needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["NormalizationLayer", "normalization_layer"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NormalizationLayer:
+    """Per-dim affine rescale (reference Normalization.jl:30-35).
+
+    ``x_min``/``x_max``: (d,) data range; ``alpha``/``beta``: static scalar
+    output bounds (β > α).
+    """
+
+    x_min: jax.Array
+    x_max: jax.Array
+    alpha: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    beta: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+
+    def _bounds(self):
+        lo = jax.lax.stop_gradient(self.x_min)
+        hi = jax.lax.stop_gradient(self.x_max)
+        return lo, hi, hi - lo, self.beta - self.alpha
+
+    def _const_ldj(self, batch_shape):
+        _, _, diff, delta = self._bounds()
+        val = jnp.sum(jnp.log(diff.astype(jnp.float32) / delta))
+        return jnp.broadcast_to(val, batch_shape)
+
+    def inverse(self, x, theta=None):
+        """data → latent: map [x_min,x_max] → [α,β]; ldj = −Σ log(Δx/δ)
+        (reference ``backward``, Normalization.jl:64-77)."""
+        lo, hi, diff, delta = self._bounds()
+        z = (self.beta * (x - lo) + self.alpha * (hi - x)) / diff
+        return z, -self._const_ldj(x.shape[:-1])
+
+    def forward(self, z, theta=None):
+        """latent → data inverse map; ldj = +Σ log(Δx/δ)
+        (reference ``forward``, Normalization.jl:79-92)."""
+        lo, hi, diff, delta = self._bounds()
+        x = (diff * z - self.alpha * hi + self.beta * lo) / delta
+        return x, self._const_ldj(z.shape[:-1])
+
+    def forward_(self, z, theta=None):
+        """ldj-free sampling fast path (reference ``forward!``,
+        Normalization.jl:95-103)."""
+        lo, hi, diff, delta = self._bounds()
+        return (diff * z - self.alpha * hi + self.beta * lo) / delta
+
+    def summarize(self) -> str:
+        return "Normalization Layer"
+
+
+def normalization_layer(x, alpha: float = 0.0, beta: float = 1.0) -> NormalizationLayer:
+    """Build from data min/max over all batch dims (reference
+    Normalization.jl:51-59; also accepts a
+    :class:`~densityflows_tpu.data.DataArrays`)."""
+    from ..data import DataArrays
+
+    if isinstance(x, DataArrays):
+        x = x.x
+    if beta <= alpha:
+        raise ValueError("normalization bounds must satisfy beta > alpha")
+    x = np.asarray(x)
+    flat = x.reshape(-1, x.shape[-1])
+    return NormalizationLayer(
+        jnp.asarray(flat.min(axis=0)),
+        jnp.asarray(flat.max(axis=0)),
+        float(alpha),
+        float(beta),
+    )

