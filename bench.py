@@ -1,0 +1,110 @@
+"""Benchmark: README 5-D conditional RealNVP training + sampling throughput.
+
+Measures, on the attached TPU chip (BASELINE.md protocol — the reference
+publishes no numbers, so baselines are measured):
+
+- training samples/s/chip on the README 5-D conditional config
+  (3 coupling layers hidden 16 + NormalizationLayer, Adam 1e-3, batch 64,
+  reference README.md:54-79) over the reference fixture,
+- final train NLL after 50 epochs,
+- sampling draws/s at 2^20 conditional draws per call.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+``vs_baseline`` compares against the first recorded TPU measurement
+(BENCH_BASELINE.json, written on first run) so cross-round improvements
+are visible; 1.0 on the first run.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import densityflows_tpu as df
+    from densityflows_tpu.models.flow import _sample_program
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    dat = np.load(os.path.join(here, "tests", "fixtures", "datatest.npz"))
+    x, theta = dat["x"], dat["theta"]
+
+    data = df.DataArrays.make(x, theta, rng=0)
+    ks = jax.random.split(jax.random.key(0), 3)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], hidden_dim_s=16, hidden_dim_t=16, key=ks[0]),
+        df.coupling_layer(data, [2, 3, 4], hidden_dim_s=16, hidden_dim_t=16, key=ks[1]),
+        df.coupling_layer(data, [4, 0, 1], hidden_dim_s=16, hidden_dim_t=16, key=ks[2]),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    flow = df.Flow(chain, data)
+
+    epochs = 50
+    n_train = len(data.partition.training)
+
+    # warmup/compile (2 epochs; separate jit cache entry from the timed run)
+    df.train(flow, data, epochs=2, verbose=False, key=jax.random.key(1))
+    # timed fused training run
+    t0 = time.perf_counter()
+    df.train(flow, data, epochs=epochs, verbose=False, key=jax.random.key(2))
+    # train() blocks on host conversion of the loss histories
+    train_time = time.perf_counter() - t0
+    train_sps = epochs * n_train / train_time
+    final_nll = flow.train_loss[-1]
+
+    # sampling draws/s (donated-buffer jitted sweep, excl. compile)
+    n_draws = 1 << 20
+    theta_n = flow.prepare_theta((-1.0,), (n_draws,))
+    base_draw = lambda k: flow.base.sample(k, (n_draws,))
+    r = base_draw(jax.random.key(3))
+    _sample_program(flow.model, None, r, theta_n).block_until_ready()  # compile
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        r = base_draw(jax.random.key(10 + i))
+        out = _sample_program(flow.model, None, r, theta_n)
+    out.block_until_ready()
+    sample_dps = iters * n_draws / (time.perf_counter() - t0)
+
+    value = train_sps
+    baseline_path = os.path.join(here, "BENCH_BASELINE.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        vs = value / baseline["value"] if baseline.get("value") else 1.0
+    else:
+        with open(baseline_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "train_samples_per_sec_per_chip",
+                    "value": value,
+                    "unit": "samples/s/chip",
+                    "device": str(jax.devices()[0]),
+                },
+                f,
+            )
+        vs = 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(vs, 3),
+                "final_train_nll": round(float(final_nll), 4),
+                "sample_draws_per_sec": round(sample_dps, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Device mesh and sharding utilities (GSPMD data/model parallelism).
+
+The reference is entirely serial (SURVEY.md §2.2); this subsystem is the
+TPU-native scaling path the north star mandates: a logical mesh with a
+``data`` axis (batch/particle sharding — gradients all-reduce via an
+XLA-inserted ``psum`` over ICI) and an optional ``model`` axis (tensor
+parallelism for wide conditioner MLPs, BASELINE.json config 3).
+
+Everything composes with ``jax.jit``: place arrays with the shardings
+returned here and the GSPMD partitioner inserts the collectives.
+Multi-host bootstrap goes through :func:`distributed_init`
+(``jax.distributed.initialize``) before any device access.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_batch",
+    "shard_params_tp",
+    "distributed_init",
+]
+
+
+def make_mesh(
+    shape: tuple[int, ...] | None = None,
+    axis_names: tuple[str, ...] = ("data",),
+    *,
+    devices=None,
+) -> Mesh:
+    """Build a logical mesh. Default: all devices on one ``data`` axis.
+
+    ``make_mesh((4, 2), ("data", "model"))`` builds a 2-D mesh for
+    DP × TP. Axis sizes must multiply to the device count. Axes are
+    ``Auto``-typed so the GSPMD partitioner resolves intermediate
+    shardings and inserts collectives itself (classic pjit behavior) —
+    explicit-mode meshes would demand per-gather out_shardings.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n,) if len(axis_names) == 1 else (n // 1,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} does not match {n} devices")
+    axis_types = (jax.sharding.AxisType.Auto,) * len(axis_names)
+    return jax.make_mesh(shape, axis_names, devices=devices,
+                         axis_types=axis_types)
+
+
+def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard axis 0 (the batch/particle axis) over the mesh ``data`` axis;
+    replicate everything else."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place batch-major arrays with the batch axis sharded over ``data``."""
+    out = tuple(
+        jax.device_put(a, data_sharding(mesh, np.ndim(a))) for a in arrays
+    )
+    return out[0] if len(out) == 1 else out
+
+
+def _tp_spec_for_mlp_leaf(path, leaf) -> P:
+    """Tensor-parallel PartitionSpec for one conditioner-MLP leaf.
+
+    Megatron-style: first dense column-parallel (hidden sharded), last
+    dense row-parallel (hidden sharded on the input side) — XLA inserts
+    the single psum at the row-parallel output. Middle hidden→hidden
+    layers stay column-parallel on their output.
+    """
+    names = [getattr(p, "name", getattr(p, "idx", None)) for p in path]
+    if "weights" in names:
+        i = int(names[names.index("weights") + 1])
+        w_shape = leaf.shape
+        n_layers = None  # filled by caller via closure; not needed here
+        # first layer: (in, hidden) → shard hidden (columns)
+        # middle:      (hidden, hidden) → shard input rows (after a gather)
+        # last layer:  (hidden, out) → shard rows (row-parallel)
+        if i == 0:
+            return P(None, "model")
+        return P("model", None)
+    if "biases" in names:
+        i = int(names[names.index("biases") + 1])
+        if leaf.ndim and leaf.shape[0] and i == 0:
+            return P("model")
+        return P()
+    return P()
+
+
+def shard_params_tp(mesh: Mesh, model):
+    """Place a model pytree with conditioner MLPs tensor-parallel over the
+    mesh ``model`` axis (wide-emulator configs; small nets can stay
+    replicated — pass them through :func:`replicated` instead)."""
+    def place(path, leaf):
+        spec = _tp_spec_for_mlp_leaf(path, leaf)
+        try:
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        except ValueError:
+            # dimension not divisible by the model-axis size → replicate
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, model)
+
+
+def distributed_init(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bootstrap (``jax.distributed.initialize``). Call once per
+    host before any device access; no-ops on single-process runs when no
+    coordinator is configured."""
+    if coordinator_address is None and num_processes is None:
+        import os
+
+        if "JAX_COORDINATOR_ADDRESS" not in os.environ:
+            return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -80,25 +80,52 @@ def make_train_step(optimizer):
 _PROGRAM_CACHE: dict = {}
 
 
-def make_train_program(optimizer, batchsize: int, epochs: int, shuffle: bool = True):
+def _row_mask(n_rows_padded: int, n_valid: int):
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_rows_padded, 1), 0)[:, 0]
+    return (row < n_valid).astype(jnp.float32)
+
+
+def make_train_program(
+    optimizer,
+    batchsize: int,
+    epochs: int,
+    shuffle: bool = True,
+    n_train: int | None = None,
+    n_valid: int | None = None,
+    batch_sharding=None,
+):
     """Build (and cache) the fused multi-epoch training program.
+
+    ``n_train``/``n_valid`` are the REAL row counts; the x/theta arrays may
+    be zero-padded beyond them (for even mesh placement) — padded rows are
+    masked out of every loss. ``batch_sharding`` (a NamedSharding), when
+    given, constrains each gathered batch so the GSPMD partitioner keeps
+    the batch distributed and inserts the gradient psum over ICI.
 
     Returns ``fn(model, opt_state, base, x, theta, x_valid, theta_valid,
     key) -> (model, opt_state, train_losses, valid_losses)`` where the
     losses are per-epoch full-split NLLs (reference epoch bookkeeping,
     src/Flows.jl:419-437).
     """
-    cache_key = (id(optimizer), batchsize, epochs, shuffle)
+    cache_key = (id(optimizer), batchsize, epochs, shuffle, n_train, n_valid,
+                 batch_sharding)
     if cache_key in _PROGRAM_CACHE:
         return _PROGRAM_CACHE[cache_key]
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_program(model, opt_state, base, x, theta, x_valid, theta_valid, key):
-        n = x.shape[0]
+        n = x.shape[0] if n_train is None else n_train
+        nv = x_valid.shape[0] if n_valid is None else n_valid
         n_batches = -(-n // batchsize)
         n_pad = n_batches * batchsize
-        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
-        mask = (row < n).astype(jnp.float32).reshape(n_batches, batchsize)
+        mask = _row_mask(n_pad, n).reshape(n_batches, batchsize)
+        train_row_mask = _row_mask(x.shape[0], n)
+        valid_row_mask = _row_mask(x_valid.shape[0], nv)
+
+        def constrain(a):
+            if batch_sharding is not None:
+                return jax.lax.with_sharding_constraint(a, batch_sharding)
+            return a
 
         def epoch_body(carry, ekey):
             model, opt_state = carry
@@ -113,7 +140,7 @@ def make_train_program(optimizer, batchsize: int, epochs: int, shuffle: bool = T
                 model, opt_state = carry
                 i, m = im
                 loss, grads = jax.value_and_grad(masked_nll_loss)(
-                    model, base, x[i], theta[i], m
+                    model, base, constrain(x[i]), constrain(theta[i]), m
                 )
                 updates, opt_state = optimizer.update(grads, opt_state, model)
                 model = optax.apply_updates(model, updates)
@@ -122,8 +149,8 @@ def make_train_program(optimizer, batchsize: int, epochs: int, shuffle: bool = T
             (model, opt_state), _ = jax.lax.scan(
                 batch_body, (model, opt_state), (idx, mask)
             )
-            tl = _eval_nll(model, base, x, theta)
-            vl = _eval_nll(model, base, x_valid, theta_valid)
+            tl = masked_nll_loss(model, base, x, theta, train_row_mask)
+            vl = masked_nll_loss(model, base, x_valid, theta_valid, valid_row_mask)
             return (model, opt_state), (tl, vl)
 
         keys = jax.random.split(key, epochs)
@@ -192,13 +219,30 @@ def train(
 
     x_train, th_train = data.normalized_training_data(flow.metadata)
     x_valid, th_valid = data.normalized_validation_data(flow.metadata)
+    n_train, n_valid = x_train.shape[0], x_valid.shape[0]
+
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh_n = mesh.shape["data"]
+        batch_sharding = NamedSharding(mesh, P("data", None))
+
+        def pad_rows(arr):
+            pad = (-arr.shape[0]) % mesh_n
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)]
+                )
+            return arr
+
+        x_train, th_train = pad_rows(x_train), pad_rows(th_train)
+        x_valid, th_valid = pad_rows(x_valid), pad_rows(th_valid)
 
     def put(arr):
         arr = jnp.asarray(np.ascontiguousarray(arr))
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            return jax.device_put(arr, NamedSharding(mesh, P("data")))
+        if batch_sharding is not None:
+            return jax.device_put(arr, batch_sharding)
         return arr
 
     xt, tht, xv, thv = put(x_train), put(th_train), put(x_valid), put(th_valid)
@@ -207,7 +251,10 @@ def train(
     if opt_state is None:
         opt_state = optimizer.init(model)
 
-    program = make_train_program(optimizer, batchsize, epochs, shuffle)
+    program = make_train_program(
+        optimizer, batchsize, epochs, shuffle,
+        n_train=n_train, n_valid=n_valid, batch_sharding=batch_sharding,
+    )
     model, opt_state, tls, vls = program(
         model, opt_state, flow.base, xt, tht, xv, thv, key
     )

@@ -1,0 +1,261 @@
+"""Checkpointing: declarative spec + arrays save/load for flows.
+
+TPU-native counterpart of the reference persistence subsystem
+(/root/reference/src/Loading.jl). The reference encodes structure in
+directory/file names and rebuilds types by reflection
+(Loading.jl:124-186); here the structure is a declarative JSON spec
+(architecture, axes, activation names, static config) plus one ``.npz``
+of parameter arrays in pytree-flatten order — same observable contract
+(``save_flow(dir, flow)`` → ``load_flow(dir)`` returns an identical
+flow with losses and base preserved, Loading.jl:324-377), none of the
+filename reflection.
+
+Improvement over the reference (SURVEY.md §5): optimizer state CAN be
+checkpointed (``save_flow(..., opt_state=...)``), so mid-training resume
+is exact, not lossy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..axes import CouplingAxes
+from ..data import MetaData
+from ..models.blocks import CouplingBlock
+from ..models.chains import FlowChain
+from ..models.distributions import DiagNormal, StandardNormal
+from ..models.flow import Flow
+from ..models.layers import NICECouplingLayer, RNVPCouplingLayer
+from ..models.normalization import NormalizationLayer
+from ..ops.mlp import MLP
+
+__all__ = [
+    "save_flow",
+    "load_flow",
+    "save_element",
+    "load_element",
+    "element_spec",
+    "element_from_spec",
+]
+
+_FORMAT_VERSION = 1
+
+
+# -- spec (structure without arrays) ---------------------------------------
+
+def _axes_spec(axes: CouplingAxes) -> dict:
+    return {
+        "d": axes.d,
+        "n": axes.n,
+        "axis_id": list(axes.axis_id),
+        "axis_af": list(axes.axis_af),
+        "axis_nn": list(axes.axis_nn),
+    }
+
+
+def _axes_from_spec(s: dict) -> CouplingAxes:
+    return CouplingAxes(
+        s["d"], s["n"], tuple(s["axis_id"]), tuple(s["axis_af"]),
+        tuple(s["axis_nn"]),
+    )
+
+
+def element_spec(el) -> dict:
+    """JSON-able structural description of a flow element (the analogue of
+    the reference's ``save_element`` type/field encoding,
+    Loading.jl:124-173)."""
+    if isinstance(el, MLP):
+        return {
+            "type": "MLP",
+            "weight_shapes": [list(w.shape) for w in el.weights],
+            "bias_shapes": [list(b.shape) for b in el.biases],
+            "dtype": str(el.weights[0].dtype) if el.weights else "float32",
+            "activation": el.activation,
+        }
+    if isinstance(el, RNVPCouplingLayer):
+        return {
+            "type": "RNVPCouplingLayer",
+            "s_net": element_spec(el.s_net),
+            "t_net": element_spec(el.t_net),
+            "axes": _axes_spec(el.axes),
+        }
+    if isinstance(el, NICECouplingLayer):
+        return {
+            "type": "NICECouplingLayer",
+            "t_net": element_spec(el.t_net),
+            "axes": _axes_spec(el.axes),
+        }
+    if isinstance(el, NormalizationLayer):
+        return {
+            "type": "NormalizationLayer",
+            "d": int(el.x_min.shape[0]),
+            "dtype": str(el.x_min.dtype),
+            "alpha": float(el.alpha),
+            "beta": float(el.beta),
+        }
+    if isinstance(el, CouplingBlock):
+        return {
+            "type": "CouplingBlock",
+            "layer_1": element_spec(el.layer_1),
+            "layer_2": element_spec(el.layer_2),
+        }
+    if isinstance(el, FlowChain):
+        return {
+            "type": "FlowChain",
+            "layers": [element_spec(l) for l in el.layers],
+        }
+    if isinstance(el, StandardNormal):
+        return {"type": "StandardNormal", "d": el.d}
+    if isinstance(el, DiagNormal):
+        return {
+            "type": "DiagNormal",
+            "d": int(el.mean.shape[-1]),
+            "dtype": str(el.mean.dtype),
+        }
+    raise TypeError(f"don't know how to checkpoint {type(el).__name__}")
+
+
+def element_from_spec(spec: dict):
+    """Rebuild a flow element skeleton (zero arrays) from its spec — the
+    analogue of the reference's ``load_element`` type resolution
+    (Loading.jl:176-307), without ``eval``/reflection."""
+    t = spec["type"]
+    if t == "MLP":
+        dtype = jnp.dtype(spec["dtype"])
+        weights = tuple(jnp.zeros(s, dtype) for s in spec["weight_shapes"])
+        biases = tuple(jnp.zeros(s, dtype) for s in spec["bias_shapes"])
+        return MLP(weights, biases, spec["activation"])
+    if t == "RNVPCouplingLayer":
+        return RNVPCouplingLayer(
+            element_from_spec(spec["s_net"]),
+            element_from_spec(spec["t_net"]),
+            _axes_from_spec(spec["axes"]),
+        )
+    if t == "NICECouplingLayer":
+        return NICECouplingLayer(
+            element_from_spec(spec["t_net"]), _axes_from_spec(spec["axes"])
+        )
+    if t == "NormalizationLayer":
+        dtype = jnp.dtype(spec["dtype"])
+        z = jnp.zeros((spec["d"],), dtype)
+        # skeleton x_max=1 keeps the zero-array skeleton valid (x_max > x_min)
+        return NormalizationLayer(z, z + 1, spec["alpha"], spec["beta"])
+    if t == "CouplingBlock":
+        return CouplingBlock(
+            element_from_spec(spec["layer_1"]), element_from_spec(spec["layer_2"])
+        )
+    if t == "FlowChain":
+        return FlowChain(tuple(element_from_spec(s) for s in spec["layers"]))
+    if t == "StandardNormal":
+        return StandardNormal(spec["d"])
+    if t == "DiagNormal":
+        dtype = jnp.dtype(spec["dtype"])
+        return DiagNormal(jnp.zeros((spec["d"],), dtype), jnp.ones((spec["d"],), dtype))
+    raise ValueError(f"unknown element type in checkpoint: {t}")
+
+
+# -- array (de)hydration ---------------------------------------------------
+
+def _leaves_to_npz(tree) -> dict:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return {f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}
+
+
+def _npz_into_tree(skeleton, npz) -> object:
+    treedef = jax.tree_util.tree_structure(skeleton)
+    n = treedef.num_leaves
+    leaves = [jnp.asarray(npz[f"leaf_{i:05d}"]) for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# -- element-level API (reference save_element/load_element) ---------------
+
+def save_element(directory: str, el, *, erase: bool = False) -> None:
+    """Persist one flow element (reference ``save_element``,
+    Loading.jl:124-173)."""
+    _prepare_dir(directory, erase)
+    with open(os.path.join(directory, "spec.json"), "w") as f:
+        json.dump({"format_version": _FORMAT_VERSION, "spec": element_spec(el)}, f, indent=1)
+    np.savez(os.path.join(directory, "arrays.npz"), **_leaves_to_npz(el))
+
+
+def load_element(directory: str):
+    """Load one flow element (reference ``load_element``,
+    Loading.jl:176-307)."""
+    with open(os.path.join(directory, "spec.json")) as f:
+        payload = json.load(f)
+    skeleton = element_from_spec(payload["spec"])
+    npz = np.load(os.path.join(directory, "arrays.npz"))
+    return _npz_into_tree(skeleton, npz)
+
+
+# -- flow-level API (reference save_flow/load_flow) ------------------------
+
+def _prepare_dir(directory: str, erase: bool) -> None:
+    if os.path.exists(directory):
+        if erase:
+            shutil.rmtree(directory)
+        elif os.listdir(directory):
+            raise FileExistsError(
+                f"{directory} exists and is not empty (pass erase=True)"
+            )
+    os.makedirs(directory, exist_ok=True)
+
+
+def save_flow(directory: str, flow: Flow, opt_state=None, *, erase: bool = False) -> None:
+    """Persist a complete flow: model + base + metadata + loss histories
+    (+ optionally optimizer state). Reference ``save_flow``
+    (Loading.jl:324-345); opt-state persistence is our addition."""
+    _prepare_dir(directory, erase)
+    save_element(os.path.join(directory, "model"), flow.model, erase=erase)
+    save_element(os.path.join(directory, "base"), flow.base, erase=erase)
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "metadata": {
+            "hash": flow.metadata.hash,
+            "d": flow.metadata.d,
+            "n": flow.metadata.n,
+            "theta_min": np.asarray(flow.metadata.theta_min).tolist(),
+            "theta_max": np.asarray(flow.metadata.theta_max).tolist(),
+        },
+        "train_loss": [float(v) for v in flow.train_loss],
+        "valid_loss": [float(v) for v in flow.valid_loss],
+        "has_opt_state": opt_state is not None,
+    }
+    with open(os.path.join(directory, "flow.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    if opt_state is not None:
+        np.savez(os.path.join(directory, "opt_state.npz"),
+                 **_leaves_to_npz(opt_state))
+
+
+def load_flow(directory: str, optimizer=None):
+    """Load a flow saved by :func:`save_flow` (reference ``load_flow``,
+    Loading.jl:348-377).
+
+    If ``optimizer`` (the optax transform used before) is given and the
+    checkpoint holds optimizer state, returns ``(flow, opt_state)``;
+    otherwise returns just the flow.
+    """
+    with open(os.path.join(directory, "flow.json")) as f:
+        meta = json.load(f)
+    model = load_element(os.path.join(directory, "model"))
+    base = load_element(os.path.join(directory, "base"))
+    md = meta["metadata"]
+    metadata = MetaData(
+        md["hash"], md["d"], md["n"],
+        np.asarray(md["theta_min"], np.float32),
+        np.asarray(md["theta_max"], np.float32),
+    )
+    flow = Flow(model, metadata, base, meta["train_loss"], meta["valid_loss"])
+    if optimizer is not None and meta.get("has_opt_state"):
+        skeleton = optimizer.init(model)
+        npz = np.load(os.path.join(directory, "opt_state.npz"))
+        return flow, _npz_into_tree(skeleton, npz)
+    return flow

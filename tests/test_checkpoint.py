@@ -1,0 +1,112 @@
+"""Checkpoint/restore tests (contract of reference src/Loading.jl:324-377,
+plus exact optimizer-state resume the reference lacks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import densityflows_tpu as df
+from densityflows_tpu.utils.checkpoint import (
+    load_element,
+    load_flow,
+    save_element,
+    save_flow,
+)
+
+
+def _small_flow(tmp_seed=0):
+    rng = np.random.default_rng(tmp_seed)
+    x = rng.normal(size=(200, 4)).astype(np.float32)
+    th = rng.uniform(0, 2, size=(200, 1)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=1)
+    chain = df.flow_chain(
+        df.coupling_block(data, [0, 2], key=jax.random.key(2), hidden_dim_s=8,
+                          hidden_dim_t=8),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    return df.Flow(chain, data), data, x, th
+
+
+def test_save_load_element_roundtrip(tmp_path):
+    layer = df.coupling_layer(5, [0, 2], n=1, key=jax.random.key(0))
+    save_element(str(tmp_path / "el"), layer)
+    loaded = load_element(str(tmp_path / "el"))
+    assert isinstance(loaded, df.RNVPCouplingLayer)
+    assert loaded.axes == layer.axes
+    for a, b in zip(
+        jax.tree_util.tree_leaves(layer), jax.tree_util.tree_leaves(loaded)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_save_load_flow_identical_densities(tmp_path):
+    flow, data, x, th = _small_flow()
+    df.train(flow, data, epochs=2, verbose=False, key=jax.random.key(3))
+    save_flow(str(tmp_path / "flow"), flow)
+    loaded = load_flow(str(tmp_path / "flow"))
+
+    lp0 = np.asarray(flow.log_prob(x[:20], th[:20]))
+    lp1 = np.asarray(loaded.log_prob(x[:20], th[:20]))
+    np.testing.assert_array_equal(lp0, lp1)
+    assert loaded.train_loss == flow.train_loss
+    assert loaded.valid_loss == flow.valid_loss
+    assert loaded.metadata.d == flow.metadata.d
+    np.testing.assert_array_equal(loaded.metadata.theta_min, flow.metadata.theta_min)
+
+    s0 = np.asarray(flow.sample(7, (1.0,), key=jax.random.key(4)))
+    s1 = np.asarray(loaded.sample(7, (1.0,), key=jax.random.key(4)))
+    np.testing.assert_array_equal(s0, s1)
+
+
+def test_exact_resume_with_opt_state(tmp_path):
+    """Training N epochs straight must equal training k, checkpointing with
+    opt state, loading, and training N−k more — exact resume (SURVEY.md §5
+    notes the reference cannot do this)."""
+    optimizer = optax.adam(1e-3)
+
+    flow_a, data, x, th = _small_flow()
+    opt_a = df.train(flow_a, data, optimizer, epochs=2, verbose=False,
+                     key=jax.random.key(10), shuffle=False)
+    opt_a = df.train(flow_a, data, optimizer, opt_a, epochs=2, verbose=False,
+                     key=jax.random.key(11), shuffle=False)
+
+    flow_b, data_b, _, _ = _small_flow()
+    opt_b = df.train(flow_b, data_b, optimizer, epochs=2, verbose=False,
+                     key=jax.random.key(10), shuffle=False)
+    save_flow(str(tmp_path / "ck"), flow_b, opt_b)
+    flow_c, opt_c = load_flow(str(tmp_path / "ck"), optimizer)
+    df.train(flow_c, data_b, optimizer, opt_c, epochs=2, verbose=False,
+             key=jax.random.key(11), shuffle=False)
+
+    np.testing.assert_allclose(
+        np.asarray(flow_a.log_prob(x[:10], th[:10])),
+        np.asarray(flow_c.log_prob(x[:10], th[:10])),
+        atol=1e-6,
+    )
+
+
+def test_refuses_to_overwrite_without_erase(tmp_path):
+    flow, *_ = _small_flow()
+    save_flow(str(tmp_path / "f"), flow)
+    with pytest.raises(FileExistsError):
+        save_flow(str(tmp_path / "f"), flow)
+    save_flow(str(tmp_path / "f"), flow, erase=True)  # explicit erase OK
+
+
+def test_chain_of_blocks_and_nice_roundtrip(tmp_path):
+    chain = df.flow_chain(
+        df.coupling_block(6, [0, 1, 2], n=2, key=jax.random.key(5)),
+        df.coupling_layer(6, [1, 3], n=2, kind=df.NICECouplingLayer,
+                          key=jax.random.key(6)),
+    )
+    save_element(str(tmp_path / "c"), chain)
+    loaded = load_element(str(tmp_path / "c"))
+    assert isinstance(loaded[0], df.CouplingBlock)
+    assert isinstance(loaded[1], df.NICECouplingLayer)
+    z = jnp.asarray(np.random.default_rng(7).normal(size=(4, 6)).astype(np.float32))
+    t = jnp.asarray(np.random.default_rng(8).normal(size=(4, 2)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(chain.forward(z, t)[0]), np.asarray(loaded.forward(z, t)[0])
+    )

@@ -1,0 +1,89 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8 via conftest) — the
+standard way to validate pjit/mesh code without TPU chips (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import densityflows_tpu as df
+from densityflows_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    return make_mesh((8,), ("data",))
+
+
+def _flow_and_data(seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(512, 4)).astype(np.float32)
+    th = rng.uniform(0, 1, size=(512, 2)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=1)
+    chain = df.flow_chain(
+        df.coupling_block(data, [0, 2], key=jax.random.key(2)),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    return df.Flow(chain, data), data, x, th
+
+
+def test_sharded_log_prob_matches_single_device(mesh):
+    flow, data, x, th = _flow_and_data()
+    lp_single = np.asarray(flow.log_prob(x, th))
+
+    xs, ths = shard_batch(mesh, jnp.asarray(x), jnp.asarray(th))
+    assert xs.sharding.spec == data_sharding(mesh, 2).spec
+    lp_sharded = np.asarray(flow.log_prob(xs, ths))
+    np.testing.assert_allclose(lp_single, lp_sharded, atol=1e-5)
+
+
+def test_dp_training_matches_unsharded(mesh):
+    """Data-parallel training over the mesh must produce the same model as
+    single-device training (XLA inserts the gradient psum; same math)."""
+    optimizer = optax.adam(1e-3)
+
+    flow_a, data_a, x, th = _flow_and_data()
+    df.train(flow_a, data_a, optimizer, epochs=2, batchsize=128, shuffle=False,
+             verbose=False, key=jax.random.key(5))
+
+    flow_b, data_b, _, _ = _flow_and_data()
+    df.train(flow_b, data_b, optimizer, epochs=2, batchsize=128, shuffle=False,
+             verbose=False, key=jax.random.key(5), mesh=mesh)
+
+    np.testing.assert_allclose(flow_a.train_loss, flow_b.train_loss, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(flow_a.log_prob(x[:16], th[:16])),
+        np.asarray(flow_b.log_prob(x[:16], th[:16])),
+        atol=1e-4,
+    )
+
+
+def test_sharded_sampling(mesh):
+    """Sampling with the particle axis sharded over the mesh: the base draw
+    is placed on the data axis and the whole forward sweep stays sharded."""
+    flow, data, x, th = _flow_and_data()
+    n = 800
+    key = jax.random.key(7)
+    r = flow.base.sample(key, (n,))
+    r = jax.device_put(r, data_sharding(mesh, 2))
+    theta = flow.prepare_theta((0.5, 0.5), (n,))
+    theta = jax.device_put(theta, data_sharding(mesh, 2))
+    out = jax.jit(lambda m, rr, tt: m.forward_(rr, tt))(flow.model, r, theta)
+    assert out.shape == (n, 4)
+    # output stays sharded over the data axis — no implicit all-gather
+    assert out.sharding.is_equivalent_to(data_sharding(mesh, 2), 2)
+
+
+def test_replicated_params_under_mesh(mesh):
+    flow, *_ = _flow_and_data()
+    placed = jax.device_put(flow.model, replicated(mesh))
+    leaves = jax.tree_util.tree_leaves(placed)
+    assert all(l.sharding.is_fully_replicated for l in leaves)
