@@ -30,12 +30,54 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..axes import CouplingAxes, coupling_axes
 from ..ops.mlp import MLP, init_mlp, apply_mlp, count_params
 from ..ops import coupling as C
 
-__all__ = ["RNVPCouplingLayer", "NICECouplingLayer", "coupling_layer"]
+__all__ = [
+    "RNVPCouplingLayer", "NICECouplingLayer", "coupling_layer",
+    "set_fused_kernels", "use_fused",
+]
+
+# Fused-Pallas policy: "auto" uses the fused kernels on TPU whenever the
+# flattened batch is large enough to amortize a kernel launch; True/False
+# force it on/off (tests force on with interpret-mode on CPU).
+_FUSED_MODE: str | bool = "auto"
+_FUSED_MIN_BATCH = 4096
+
+
+def set_fused_kernels(mode: str | bool) -> None:
+    """Set the fused-kernel policy: "auto" (default), True, or False."""
+    global _FUSED_MODE
+    if mode not in ("auto", True, False):
+        raise ValueError("mode must be 'auto', True, or False")
+    _FUSED_MODE = mode
+
+
+def use_fused(batch_rows: int) -> bool:
+    if _FUSED_MODE is True:
+        return True
+    if _FUSED_MODE is False:
+        return False
+    return jax.default_backend() == "tpu" and batch_rows >= _FUSED_MIN_BATCH
+
+
+
+def _can_fuse_impl(layer, y):
+    rows = int(np.prod(y.shape[:-1])) if y.ndim > 1 else 1
+    return (
+        use_fused(rows)
+        and layer.axes.nn_input_dim > 0
+        and layer.axes.transform_dim > 0
+    )
+
+def _flatten_batch(y, theta):
+    """Collapse leading batch dims to one row axis for the 2D fused kernels."""
+    batch_shape = y.shape[:-1]
+    rows = int(np.prod(batch_shape)) if batch_shape else 1
+    return y.reshape(rows, y.shape[-1]), theta.reshape(rows, theta.shape[-1]), batch_shape
 
 
 @jax.tree_util.register_dataclass
@@ -51,25 +93,51 @@ class RNVPCouplingLayer:
     t_net: MLP
     axes: CouplingAxes = dataclasses.field(metadata=dict(static=True))
 
+    def _can_fuse(self, y):
+        return _can_fuse_impl(self, y)
+
     def _conditioner(self, y, theta):
         y_id, y_af = C.split_features(y, self.axes)
         h = C.nn_input(y_id, theta)
         return y_id, y_af, apply_mlp(self.s_net, h), apply_mlp(self.t_net, h)
 
+    def _fused(self, y, theta, direction, with_ldj):
+        """Fused-Pallas path: one VMEM-resident kernel for conditioner MLPs
+        + affine + ldj (ops/pallas_coupling.py)."""
+        from ..ops.pallas_coupling import fused_coupling
+
+        y2, th2, batch_shape = _flatten_batch(y, theta)
+        y_id, y_af = C.split_features(y2, self.axes)
+        h = C.nn_input(y_id, th2)
+        out = fused_coupling(self.s_net, self.t_net, h, y_af,
+                             direction=direction, with_ldj=with_ldj)
+        if with_ldj:
+            y_out, ldj = out
+            y_full = C.recombine_features(y_id, y_out, self.axes)
+            return (y_full.reshape(y.shape), ldj.reshape(batch_shape))
+        y_full = C.recombine_features(y_id, out, self.axes)
+        return y_full.reshape(y.shape)
+
     def forward(self, z, theta):
         """latent → data with ldj (reference ``forward``, RNVP.jl:168-187)."""
+        if self._can_fuse(z):
+            return self._fused(z, theta, "forward", True)
         z_id, z_af, s, t = self._conditioner(z, theta)
         x_af, ldj = C.rnvp_forward(s, t, z_af)
         return C.recombine_features(z_id, x_af, self.axes), ldj
 
     def inverse(self, x, theta):
         """data → latent with ldj (reference ``backward``, RNVP.jl:150-165)."""
+        if self._can_fuse(x):
+            return self._fused(x, theta, "inverse", True)
         x_id, x_af, s, t = self._conditioner(x, theta)
         z_af, ldj = C.rnvp_backward(s, t, x_af)
         return C.recombine_features(x_id, z_af, self.axes), ldj
 
     def forward_(self, z, theta):
         """ldj-free sampling fast path (reference ``forward!``, RNVP.jl:190-205)."""
+        if self._can_fuse(z):
+            return self._fused(z, theta, "forward", False)
         z_id, z_af, s, t = self._conditioner(z, theta)
         return C.recombine_features(z_id, z_af * jnp.exp(s) + t, self.axes)
 
@@ -92,21 +160,45 @@ class NICECouplingLayer:
     t_net: MLP
     axes: CouplingAxes = dataclasses.field(metadata=dict(static=True))
 
+    def _can_fuse(self, y):
+        return _can_fuse_impl(self, y)
+
     def _conditioner(self, y, theta):
         y_id, y_af = C.split_features(y, self.axes)
         return y_id, y_af, apply_mlp(self.t_net, C.nn_input(y_id, theta))
 
+    def _fused(self, y, theta, direction, with_ldj):
+        from ..ops.pallas_coupling import fused_coupling
+
+        y2, th2, batch_shape = _flatten_batch(y, theta)
+        y_id, y_af = C.split_features(y2, self.axes)
+        h = C.nn_input(y_id, th2)
+        out = fused_coupling(None, self.t_net, h, y_af,
+                             direction=direction, with_ldj=with_ldj)
+        if with_ldj:
+            y_out, ldj = out
+            y_full = C.recombine_features(y_id, y_out, self.axes)
+            return (y_full.reshape(y.shape), ldj.reshape(batch_shape))
+        y_full = C.recombine_features(y_id, out, self.axes)
+        return y_full.reshape(y.shape)
+
     def forward(self, z, theta):
+        if self._can_fuse(z):
+            return self._fused(z, theta, "forward", True)
         z_id, z_af, t = self._conditioner(z, theta)
         x_af, ldj = C.nice_forward(t, z_af)
         return C.recombine_features(z_id, x_af, self.axes), ldj
 
     def inverse(self, x, theta):
+        if self._can_fuse(x):
+            return self._fused(x, theta, "inverse", True)
         x_id, x_af, t = self._conditioner(x, theta)
         z_af, ldj = C.nice_backward(t, x_af)
         return C.recombine_features(x_id, z_af, self.axes), ldj
 
     def forward_(self, z, theta):
+        if self._can_fuse(z):
+            return self._fused(z, theta, "forward", False)
         z_id, z_af, t = self._conditioner(z, theta)
         return C.recombine_features(z_id, z_af + t, self.axes)
 
