@@ -40,6 +40,19 @@ from .ops.coupling import (
 )
 from .ops.mlp import MLP, apply_mlp, init_mlp
 from .train import train, make_train_step
+from .inference import (
+    SMCState,
+    effective_sample_size,
+    fit_posterior,
+    fit_variational,
+    make_weighted_train_step,
+    run_smc,
+    sample_with_rejection,
+    smc_step,
+    systematic_resample,
+    weighted_nll_loss,
+)
+from .utils.checkpoint import save_flow, load_flow, save_element, load_element
 
 __version__ = "0.1.0"
 
@@ -62,4 +75,11 @@ __all__ = [
     "Flow", "nll_loss",
     # training
     "train", "make_train_step",
+    # inference engine
+    "sample_with_rejection", "weighted_nll_loss", "make_weighted_train_step",
+    "fit_posterior", "fit_variational",
+    "effective_sample_size", "systematic_resample",
+    "SMCState", "smc_step", "run_smc",
+    # persistence
+    "save_flow", "load_flow", "save_element", "load_element",
 ]

@@ -1,0 +1,466 @@
+"""Inference engine: rejection sampling, SNPE/VI posterior fitting, SMC.
+
+The reference ships only a serial, unexported ``sample_with_rejection``
+marked "Need to be checked" (/root/reference/src/Flows.jl:196-229). This
+subsystem is the capability *addition* mandated by the north star
+(SURVEY.md §2.2 "Sharded-particle inference"): everything is formulated
+over a batch/particle axis that shards over the mesh ``data`` axis, so
+the same jitted programs scale from one chip to a pod slice with XLA
+collectives inserted by GSPMD.
+
+Components:
+
+- :func:`sample_with_rejection` — the reference's accept/reject loop
+  re-formulated as a jitted ``lax.while_loop`` over fixed-size draw
+  batches with mask-compaction scatter (no dynamic shapes), keeping the
+  reference's ``m × n`` attempt cap contract;
+- :func:`weighted_nll_loss` / :func:`make_weighted_train_step` —
+  importance-weighted NLL for proposal-corrected fitting;
+- :func:`fit_posterior` — SNPE-style amortized posterior fit
+  q(θ | x): conditional MLE on simulator pairs, with optional importance
+  weights prior/proposal (SNPE-B correction);
+- :func:`fit_variational` — reverse-KL variational fit of the flow to an
+  unnormalized log-density (VI), one fused jitted program over steps;
+- :func:`effective_sample_size`, :func:`systematic_resample`,
+  :func:`smc_step`, :func:`run_smc` — tempered SMC over sharded
+  particles: reweight → ESS-triggered systematic resampling (prefix-sum
+  formulation) → random-walk MH move, all inside ``lax`` control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .models.flow import Flow
+
+__all__ = [
+    "sample_with_rejection",
+    "weighted_nll_loss",
+    "make_weighted_train_step",
+    "fit_posterior",
+    "fit_variational",
+    "effective_sample_size",
+    "systematic_resample",
+    "SMCState",
+    "smc_step",
+    "run_smc",
+]
+
+
+# -- rejection sampling -----------------------------------------------------
+
+
+def sample_with_rejection(
+    flow: Flow,
+    n_samples: int,
+    condition: Callable[[jax.Array], jax.Array],
+    theta=None,
+    *,
+    key=None,
+    max_rounds: int = 100,
+    batch: int | None = None,
+    dtype=jnp.float32,
+):
+    """Draw ``n_samples`` samples satisfying ``condition(x) -> bool mask``.
+
+    Vectorized replacement for the reference's serial accept/reject loop
+    (src/Flows.jl:196-229, attempt cap ``m·n`` → here ``max_rounds``
+    fixed-size rounds): a ``lax.while_loop`` draws ``batch`` candidates per
+    round, transforms them through the flow's jitted sampling program, and
+    compacts accepted rows into the output buffer with a cumsum+scatter
+    (static shapes throughout — TPU-friendly, no host sync per round).
+
+    Raises ``RuntimeError`` if the cap is hit before ``n_samples`` are
+    accepted (reference throws ArgumentError, src/Flows.jl:220-223).
+    """
+    if key is None:
+        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+    if batch is None:
+        batch = max(2 * n_samples, 1024)
+    theta_n = flow.prepare_theta(theta, (batch,), dtype)
+
+    model, base = flow.model, flow.base
+
+    @jax.jit
+    def run(model, theta_n, key):
+        def cond_fn(carry):
+            filled, _, _, rounds = carry
+            return jnp.logical_and(filled < n_samples, rounds < max_rounds)
+
+        def body_fn(carry):
+            filled, out, k, rounds = carry
+            k, k_draw = jax.random.split(k)
+            r = base.sample(k_draw, (batch,), dtype)
+            x = model.forward_(r, theta_n)
+            ok = condition(x).astype(jnp.int32).reshape(batch)
+            # compaction: accepted row j goes to slot filled + rank(j)
+            ranks = jnp.cumsum(ok) - 1
+            dest = jnp.where(ok == 1, filled + ranks, n_samples)  # drop
+            out = out.at[dest].set(x, mode="drop")
+            return filled + jnp.sum(ok), out, k, rounds + 1
+
+        out0 = jnp.zeros((n_samples, base.d), dtype)
+        filled, out, _, rounds = jax.lax.while_loop(
+            cond_fn, body_fn, (jnp.int32(0), out0, key, jnp.int32(0))
+        )
+        return filled, out, rounds
+
+    filled, out, rounds = run(model, theta_n, key)
+    filled = int(filled)
+    if filled < n_samples:
+        raise RuntimeError(
+            f"rejection sampling accepted only {filled}/{n_samples} draws "
+            f"after {int(rounds)} rounds of {batch} "
+            "(reference convergence-cap contract, src/Flows.jl:220-223)"
+        )
+    return out
+
+
+# -- importance-weighted NLL ------------------------------------------------
+
+
+def weighted_nll_loss(model, base, x, theta, weights):
+    """−Σ wᵢ·log p(xᵢ|θᵢ) / Σ wᵢ — importance-weighted forward-KL NLL.
+
+    With ``weights = prior(θ)/proposal(θ)`` this is the SNPE-B correction;
+    with uniform weights it reduces to the reference loss
+    (src/Flows.jl:352-359)."""
+    z, ldj = model.inverse(x, theta)
+    per_sample = base.log_prob(z) + ldj
+    w = weights.astype(jnp.float32)
+    return -jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1e-30)
+
+
+def make_weighted_train_step(optimizer):
+    """Fused loss+grad+update step for :func:`weighted_nll_loss` (the
+    weighted analogue of ``train.make_train_step``)."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(model, opt_state, base, x, theta, weights):
+        loss, grads = jax.value_and_grad(weighted_nll_loss)(
+            model, base, x, theta, weights
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    return step
+
+
+# -- SNPE-style amortized posterior fit -------------------------------------
+
+
+def fit_posterior(
+    flow: Flow,
+    theta_samples,
+    x_observations,
+    *,
+    weights=None,
+    optimizer=None,
+    epochs: int = 100,
+    batchsize: int = 64,
+    key=None,
+    mesh=None,
+    verbose: bool = False,
+):
+    """Fit the flow as an amortized posterior q(θ | x) by conditional MLE.
+
+    SNPE round 1: train on simulator pairs (θᵢ ~ prior, xᵢ ~ sim(θᵢ));
+    the flow's *data* axis models θ and its *condition* axis models x.
+    Pass ``weights = prior(θᵢ)/proposal(θᵢ)`` when θ was drawn from a
+    proposal instead of the prior (SNPE-B importance correction). With no
+    weights this delegates to the fused multi-epoch program in ``train``.
+
+    No reference counterpart — capability addition per SURVEY.md §2.2.
+    """
+    from .data import DataArrays
+    from .train import train, _default_adam
+
+    theta_samples = np.asarray(theta_samples, np.float32)
+    x_observations = np.asarray(x_observations, np.float32)
+    data = DataArrays.make(theta_samples, x_observations, rng=0)
+
+    if weights is None:
+        return train(
+            flow, data, optimizer, epochs=epochs, batchsize=batchsize,
+            key=key, mesh=mesh, verbose=verbose,
+        )
+
+    # weighted path: per-batch weighted steps (host batcher, jitted step)
+    if optimizer is None:
+        optimizer = _default_adam()
+    if key is None:
+        key = jax.random.key(0)
+    w = np.asarray(weights, np.float32)
+    xt, tht = data.normalized_training_data(flow.metadata)
+    idx_all = np.asarray(data.partition.training)
+    wt = w[idx_all]
+    step = make_weighted_train_step(optimizer)
+    model = flow.model
+    opt_state = optimizer.init(model)
+    n = xt.shape[0]
+    rng = np.random.default_rng(0)
+    for epoch in range(epochs):
+        order = rng.permutation(n)
+        for start in range(0, n, batchsize):
+            sl = order[start : start + batchsize]
+            if len(sl) < batchsize:  # static shapes: pad with zero weight
+                pad = np.zeros(batchsize - len(sl), sl.dtype)
+                wb = np.concatenate([wt[sl], np.zeros(batchsize - len(sl), np.float32)])
+                sl = np.concatenate([sl, pad])
+            else:
+                wb = wt[sl]
+            model, opt_state, loss = step(
+                model, opt_state, flow.base,
+                jnp.asarray(xt[sl]), jnp.asarray(tht[sl]), jnp.asarray(wb),
+            )
+        flow.train_loss.append(float(loss))
+        if verbose:
+            print(f"epoch {epoch + 1} | weighted NLL = {float(loss)}")
+    flow.model = model
+    return opt_state
+
+
+# -- variational (reverse-KL) fit -------------------------------------------
+
+
+_VI_CACHE: dict = {}
+
+
+def fit_variational(
+    flow: Flow,
+    log_density: Callable[[jax.Array], jax.Array],
+    *,
+    theta=None,
+    optimizer=None,
+    steps: int = 1000,
+    n_particles: int = 1024,
+    key=None,
+    verbose: bool = False,
+):
+    """Variational fit: minimize KL(q_flow ‖ p) for unnormalized log p.
+
+    loss = E_{z~base}[ log q(x) − log p̃(x) ],  x = flow.forward(z),
+    log q(x) = base.log_prob(z) − ldj_forward — the reparameterized
+    reverse-KL objective, run as ONE fused jitted program scanning over
+    ``steps`` (same program-shape philosophy as ``train``).
+
+    Appends per-step losses to ``flow.train_loss``. No reference
+    counterpart — capability addition per SURVEY.md §2.2.
+    """
+    from .train import _default_adam
+
+    if optimizer is None:
+        optimizer = _default_adam()
+    if key is None:
+        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+    theta_n = flow.prepare_theta(theta, (n_particles,))
+    base = flow.base
+
+    cache_key = (id(optimizer), id(log_density), steps, n_particles)
+    if cache_key in _VI_CACHE:
+        program = _VI_CACHE[cache_key]
+    else:
+
+        def vi_loss(model, k):
+            z = base.sample(k, (n_particles,))
+            x, ldj = model.forward(z, theta_n)
+            log_q = base.log_prob(z) - ldj
+            return jnp.mean(log_q - log_density(x))
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def program(model, opt_state, key):
+            def body(carry, k):
+                model, opt_state = carry
+                loss, grads = jax.value_and_grad(vi_loss)(model, k)
+                updates, opt_state = optimizer.update(grads, opt_state, model)
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), loss
+
+            keys = jax.random.split(key, steps)
+            (model, opt_state), losses = jax.lax.scan(
+                body, (model, opt_state), keys
+            )
+            return model, opt_state, losses
+
+        _VI_CACHE[cache_key] = program
+
+    model = flow.model
+    opt_state = optimizer.init(model)
+    model, opt_state, losses = program(model, opt_state, key)
+    losses = np.asarray(losses)
+    flow.model = model
+    flow.train_loss.extend(float(v) for v in losses)
+    if verbose:
+        print(f"VI: {steps} steps, final loss {losses[-1]:.4f}")
+    return opt_state
+
+
+# -- SMC over sharded particles ---------------------------------------------
+
+
+def effective_sample_size(log_weights):
+    """ESS = (Σw)²/Σw² from log-weights, numerically stable."""
+    lw = log_weights - jnp.max(log_weights)
+    w = jnp.exp(lw)
+    return jnp.square(jnp.sum(w)) / jnp.sum(w * w)
+
+
+def systematic_resample(log_weights, key):
+    """Systematic resampling: returns ancestor indices, shape like weights.
+
+    Prefix-sum formulation (SURVEY.md §7 hard parts): normalized-weight
+    cumsum + one stratified uniform grid + ``searchsorted``. All ops are
+    collective-friendly — under a sharded particle axis XLA lowers the
+    cumsum to a log-depth scan and the gather to an all_gather-free
+    permute when the mesh layout allows.
+    """
+    n = log_weights.shape[0]
+    lw = log_weights - jax.scipy.special.logsumexp(log_weights)
+    cdf = jnp.cumsum(jnp.exp(lw))
+    cdf = cdf / cdf[-1]  # kill accumulation error at the top
+    u0 = jax.random.uniform(key, ())
+    grid = (u0 + jnp.arange(n, dtype=jnp.float32)) / n
+    return jnp.clip(jnp.searchsorted(cdf, grid, side="left"), 0, n - 1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SMCState:
+    """Particles + log-weights + cached log-densities at the particles."""
+
+    particles: jax.Array  # (n, d)
+    log_weights: jax.Array  # (n,)
+    log_prior: jax.Array  # (n,) cached log q0 (the init density)
+    log_target: jax.Array  # (n,) cached log p̃ (unnormalized target)
+
+
+def smc_step(
+    state: SMCState,
+    log_density: Callable[[jax.Array], jax.Array],
+    log_prior: Callable[[jax.Array], jax.Array],
+    lam_old,
+    lam_new,
+    key,
+    *,
+    ess_threshold: float = 0.5,
+    mh_step_size: float = 0.1,
+    n_mh: int = 1,
+):
+    """One tempered-SMC step on the ladder π_λ ∝ q0^(1−λ)·p̃^λ.
+
+    Reweight by ``(p̃/q0)^Δλ``, resample if ESS < threshold·n, then
+    ``n_mh`` random-walk Metropolis moves targeting π_{λ_new} — so at
+    λ=0 the particles are exactly q0-distributed and at λ=1 exactly p̃.
+    Jit-traceable; compose with ``lax.scan`` over a λ-ladder (``run_smc``).
+    """
+    n = state.particles.shape[0]
+    dlam = lam_new - lam_old
+    log_w = state.log_weights + dlam * (state.log_target - state.log_prior)
+    ess = effective_sample_size(log_w)
+    k_res, k_mh = jax.random.split(key)
+
+    def do_resample(_):
+        idx = systematic_resample(log_w, k_res)
+        return (
+            state.particles[idx],
+            jnp.zeros((n,), jnp.float32),
+            state.log_prior[idx],
+            state.log_target[idx],
+        )
+
+    def no_resample(_):
+        return state.particles, log_w, state.log_prior, state.log_target
+
+    particles, log_w, log_q0, log_tgt = jax.lax.cond(
+        ess < ess_threshold * n, do_resample, no_resample, None
+    )
+
+    # MH moves targeting π_{λ_new} ∝ q0^(1−λ)·p̃^λ
+    def mh_body(carry, k):
+        x, lq, lp = carry
+        k1, k2 = jax.random.split(k)
+        prop = x + mh_step_size * jax.random.normal(k1, x.shape, x.dtype)
+        lq_prop = log_prior(prop)
+        lp_prop = log_density(prop)
+        log_alpha = (1.0 - lam_new) * (lq_prop - lq) + lam_new * (lp_prop - lp)
+        accept = jnp.log(jax.random.uniform(k2, lp.shape)) < log_alpha
+        x = jnp.where(accept[..., None], prop, x)
+        lq = jnp.where(accept, lq_prop, lq)
+        lp = jnp.where(accept, lp_prop, lp)
+        return (x, lq, lp), jnp.mean(accept.astype(jnp.float32))
+
+    (particles, log_q0, log_tgt), acc = jax.lax.scan(
+        mh_body, (particles, log_q0, log_tgt), jax.random.split(k_mh, n_mh)
+    )
+    return SMCState(particles, log_w, log_q0, log_tgt), ess, jnp.mean(acc)
+
+
+def run_smc(
+    log_density: Callable[[jax.Array], jax.Array],
+    d: int,
+    n_particles: int = 4096,
+    *,
+    n_steps: int = 20,
+    init_scale: float = 1.0,
+    key=None,
+    ess_threshold: float = 0.5,
+    mh_step_size: float = 0.1,
+    n_mh: int = 2,
+    mesh=None,
+):
+    """Tempered SMC from q0 = N(0, init_scale²·I) to exp(log_density),
+    annealing π_λ ∝ q0^(1−λ)·p̃^λ.
+
+    One fused jitted program: ``lax.scan`` over a linear λ-ladder of
+    :func:`smc_step`. Under ``mesh`` the particle axis is sharded over
+    ``data`` (the 10M-draws/s particle-collective path, SURVEY.md §5).
+    Returns (particles, log_weights, diagnostics dict).
+    """
+    if key is None:
+        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+    k_init, k_run = jax.random.split(key)
+    x0 = init_scale * jax.random.normal(k_init, (n_particles, d))
+    if mesh is not None:
+        from .parallel.mesh import data_sharding
+
+        x0 = jax.device_put(x0, data_sharding(mesh, 2))
+
+    def log_prior(x):
+        return -0.5 * jnp.sum(x * x, axis=-1) / (init_scale**2)
+
+    lams = jnp.linspace(0.0, 1.0, n_steps + 1)
+
+    @jax.jit
+    def program(x0, key):
+        state = SMCState(
+            x0, jnp.zeros((n_particles,), jnp.float32),
+            log_prior(x0), log_density(x0),
+        )
+
+        def body(state, inp):
+            lam_old, lam_new, k = inp
+            state, ess, acc = smc_step(
+                state, log_density, log_prior, lam_old, lam_new, k,
+                ess_threshold=ess_threshold,
+                mh_step_size=mh_step_size, n_mh=n_mh,
+            )
+            return state, (ess, acc)
+
+        keys = jax.random.split(key, n_steps)
+        state, (ess_hist, acc_hist) = jax.lax.scan(
+            body, state, (lams[:-1], lams[1:], keys)
+        )
+        return state, ess_hist, acc_hist
+
+    state, ess_hist, acc_hist = program(x0, k_run)
+    return state.particles, state.log_weights, {
+        "ess": ess_hist, "mh_accept": acc_hist,
+    }

@@ -79,6 +79,19 @@ def make_train_step(optimizer):
 
 _PROGRAM_CACHE: dict = {}
 
+_DEFAULT_ADAM = None
+
+
+def _default_adam():
+    """One shared Adam(1e-3) instance (the reference's de-facto default,
+    test/runtests.jl:114). Sharing the instance keeps the fused-program
+    cache warm across ``train`` calls — the cache keys on
+    ``id(optimizer)``."""
+    global _DEFAULT_ADAM
+    if _DEFAULT_ADAM is None:
+        _DEFAULT_ADAM = optax.adam(1e-3)
+    return _DEFAULT_ADAM
+
 
 def _row_mask(n_rows_padded: int, n_valid: int):
     row = jax.lax.broadcasted_iota(jnp.int32, (n_rows_padded, 1), 0)[:, 0]
@@ -213,7 +226,7 @@ def train(
     reference loses optimizer state across save/load; we keep it).
     """
     if optimizer is None:
-        optimizer = optax.adam(1e-3)
+        optimizer = _default_adam()
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
 
