@@ -53,6 +53,7 @@ from .inference import (
     weighted_nll_loss,
 )
 from .utils.checkpoint import save_flow, load_flow, save_element, load_element
+from .utils.config import NetConfig, DataConfig, TrainConfig, FlowConfig
 
 __version__ = "0.1.0"
 
@@ -82,4 +83,6 @@ __all__ = [
     "SMCState", "smc_step", "run_smc",
     # persistence
     "save_flow", "load_flow", "save_element", "load_element",
+    # config
+    "NetConfig", "DataConfig", "TrainConfig", "FlowConfig",
 ]

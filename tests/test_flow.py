@@ -149,3 +149,24 @@ def test_predict_equals_forward_first(fixture_data):
         np.asarray(flow.predict(z, (-1.0,))),
         np.asarray(flow.forward(z, (-1.0,))[0]),
     )
+
+
+def test_convergence_regression(fixture_data):
+    """Final NLL on the reference fixture must reach the recorded level
+    (≈3.28 train / 3.32 valid at 50 epochs, measured on this config —
+    SURVEY.md §6 'baselines are measured, not copied')."""
+    import jax
+
+    x, theta = fixture_data
+    data = df.DataArrays.make(x, theta, rng=0)
+    ks = jax.random.split(jax.random.key(0), 3)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], hidden_dim_s=16, hidden_dim_t=16, key=ks[0]),
+        df.coupling_layer(data, [2, 3, 4], hidden_dim_s=16, hidden_dim_t=16, key=ks[1]),
+        df.coupling_layer(data, [4, 0, 1], hidden_dim_s=16, hidden_dim_t=16, key=ks[2]),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    flow = df.Flow(chain, data)
+    df.train(flow, data, epochs=50, verbose=False, key=jax.random.key(1))
+    assert flow.training_loss[-1] < 3.5
+    assert flow.validation_loss[-1] < 3.6
