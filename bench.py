@@ -24,6 +24,59 @@ import time
 import numpy as np
 
 
+def _bench_wide(jax, jnp, df):
+    """Flagship emulator config: d=32, n=8, hidden 256, 4 coupling blocks,
+    batch 8192 — large enough that the fused Pallas kernels and the MXU
+    dominate. Returns train samples/s and sampling draws/s."""
+    import optax
+
+    from densityflows_tpu.models.flow import _sample_program
+    from densityflows_tpu.train import make_train_step
+
+    d, n_cond, hidden, n_blocks, batch = 32, 8, 256, 4, 8192
+    rng = np.random.default_rng(0)
+    x_ref = rng.normal(size=(512, d)).astype(np.float32)
+    keys = jax.random.split(jax.random.key(0), n_blocks)
+    chain = df.flow_chain(
+        *[
+            df.coupling_block(d, None, n=n_cond, key=k,
+                              hidden_dim_s=hidden, hidden_dim_t=hidden)
+            for k in keys
+        ],
+        df.normalization_layer(x_ref, -1.0, 1.0),
+    )
+    base = df.StandardNormal(d)
+    optimizer = optax.adam(1e-3)
+    step = make_train_step(optimizer)
+
+    x = jnp.asarray(rng.normal(size=(batch, d)).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(0, 1, size=(batch, n_cond)).astype(np.float32))
+    mask = jnp.ones((batch,), jnp.float32)
+    model = chain
+    opt_state = optimizer.init(model)
+    model, opt_state, loss = step(model, opt_state, base, x, theta, mask)
+    jax.block_until_ready(loss)  # compile
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        model, opt_state, loss = step(model, opt_state, base, x, theta, mask)
+    jax.block_until_ready(loss)
+    train_sps = iters * batch / (time.perf_counter() - t0)
+
+    n_draws = 1 << 18
+    theta_s = jnp.broadcast_to(theta[:1], (n_draws, n_cond))
+    r = base.sample(jax.random.key(1), (n_draws,))
+    _sample_program(model, None, r, theta_s).block_until_ready()
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        r = base.sample(jax.random.key(2 + i), (n_draws,))
+        out = _sample_program(model, None, r, theta_s)
+    out.block_until_ready()
+    sample_dps = iters * n_draws / (time.perf_counter() - t0)
+    return {"train_sps": train_sps, "sample_dps": sample_dps}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -76,6 +129,10 @@ def main():
     out.block_until_ready()
     sample_dps = iters * n_draws / (time.perf_counter() - t0)
 
+    # flagship wide config (BASELINE.json config 3): 32-D, 8 conditions,
+    # hidden-256 conditioners, 4 blocks — MXU-bound, fused-kernel territory
+    wide = _bench_wide(jax, jnp, df)
+
     value = train_sps
     baseline_path = os.path.join(here, "BENCH_BASELINE.json")
     if os.path.exists(baseline_path):
@@ -104,6 +161,8 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "final_train_nll": round(float(final_nll), 4),
                 "sample_draws_per_sec": round(sample_dps, 1),
+                "wide_train_samples_per_sec": round(wide["train_sps"], 1),
+                "wide_sample_draws_per_sec": round(wide["sample_dps"], 1),
                 "device": str(jax.devices()[0]),
             }
         )

@@ -39,7 +39,7 @@ from .ops.coupling import (
     rnvp_forward,
 )
 from .ops.mlp import MLP, apply_mlp, init_mlp
-from .train import train, make_train_step
+from .train import train, evaluate, make_train_step
 from .inference import (
     SMCState,
     effective_sample_size,
@@ -75,7 +75,7 @@ __all__ = [
     "StandardNormal", "DiagNormal",
     "Flow", "nll_loss",
     # training
-    "train", "make_train_step",
+    "train", "evaluate", "make_train_step",
     # inference engine
     "sample_with_rejection", "weighted_nll_loss", "make_weighted_train_step",
     "fit_posterior", "fit_variational",

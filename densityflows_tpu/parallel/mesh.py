@@ -25,6 +25,8 @@ __all__ = [
     "shard_batch",
     "shard_params_tp",
     "distributed_init",
+    "global_batch_from_host_local",
+    "host_local_slice",
 ]
 
 
@@ -112,6 +114,29 @@ def shard_params_tp(mesh: Mesh, model):
             return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(place, model)
+
+
+def host_local_slice(n_global: int) -> slice:
+    """This host's contiguous row range of a globally (evenly) partitioned
+    dataset — load only these rows from disk on each host (per-host data
+    loading, SURVEY.md §2.2 DP disposition)."""
+    p, np_ = jax.process_index(), jax.process_count()
+    per = -(-n_global // np_)
+    return slice(p * per, min((p + 1) * per, n_global))
+
+
+def global_batch_from_host_local(mesh: Mesh, host_local: np.ndarray):
+    """Assemble a globally-sharded array from each host's local rows.
+
+    Wraps ``jax.make_array_from_process_local_data`` with the batch-axis
+    ``data`` sharding: each host contributes its rows, no host ever
+    materializes the global array. Single-process: equivalent to
+    :func:`shard_batch`.
+    """
+    sharding = data_sharding(mesh, np.ndim(host_local))
+    if jax.process_count() == 1:
+        return jax.device_put(host_local, sharding)
+    return jax.make_array_from_process_local_data(sharding, host_local)
 
 
 def distributed_init(

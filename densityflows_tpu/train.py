@@ -41,7 +41,10 @@ import optax
 from .data import DataArrays
 from .models.flow import Flow
 
-__all__ = ["train", "make_train_step", "make_train_program", "batch_iterator"]
+__all__ = [
+    "train", "evaluate", "make_train_step", "make_train_program",
+    "batch_iterator",
+]
 
 
 def masked_nll_loss(model, base, x, theta, mask):
@@ -174,6 +177,30 @@ def make_train_program(
 
     _PROGRAM_CACHE[cache_key] = train_program
     return train_program
+
+
+def evaluate(flow: Flow, data: DataArrays, split: str = "testing") -> float:
+    """Full-split NLL on ``'training'``/``'validation'``/``'testing'``.
+
+    The held-out evaluation entry point the reference computes inline per
+    epoch (src/Flows.jl:419-437) but never exposes for the test split.
+    """
+    getter = {
+        "training": data.normalized_training_data,
+        "validation": data.normalized_validation_data,
+    }.get(split)
+    if getter is not None:
+        x, th = getter(flow.metadata)
+    elif split == "testing":
+        x, th = data.testing_data()
+        from .data import normalize_input
+
+        th = normalize_input(th, flow.metadata.theta_min, flow.metadata.theta_max)
+    else:
+        raise ValueError(f"unknown split {split!r}")
+    if x.shape[0] == 0:
+        raise ValueError(f"split {split!r} is empty")
+    return float(_eval_nll(flow.model, flow.base, jnp.asarray(x), jnp.asarray(th)))
 
 
 def batch_iterator(

@@ -111,3 +111,21 @@ def test_forward_fast_path_matches_forward():
     x_full, _ = layer.forward(z, th)
     x_fast = layer.forward_(z, th)
     np.testing.assert_allclose(x_full, x_fast, atol=1e-7)
+
+
+def test_bf16_activations_fp32_ldj():
+    """bf16 weights/activations keep the ldj in fp32 and cancel exactly on
+    roundtrip (SURVEY.md §7 numerics: 'keep s/ldj accumulation in f32')."""
+    import jax
+
+    layer = df.coupling_layer(8, [0, 1, 2, 3], n=2, key=jax.random.key(0),
+                              dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.key(1), (64, 8), jnp.bfloat16)
+    th = jax.random.uniform(jax.random.key(2), (64, 2), jnp.bfloat16)
+    z, ldj_b = layer.inverse(x, th)
+    x2, ldj_f = layer.forward(z, th)
+    assert z.dtype == jnp.bfloat16
+    assert ldj_b.dtype == jnp.float32
+    err = jnp.max(jnp.abs(x2.astype(jnp.float32) - x.astype(jnp.float32)))
+    assert float(err) < 0.1  # bf16 mantissa
+    np.testing.assert_allclose(np.asarray(ldj_b + ldj_f), 0.0, atol=1e-5)

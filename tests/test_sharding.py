@@ -87,3 +87,36 @@ def test_replicated_params_under_mesh(mesh):
     placed = jax.device_put(flow.model, replicated(mesh))
     leaves = jax.tree_util.tree_leaves(placed)
     assert all(l.sharding.is_fully_replicated for l in leaves)
+
+
+def test_global_batch_from_host_local(mesh):
+    from densityflows_tpu.parallel.mesh import (
+        global_batch_from_host_local, host_local_slice,
+    )
+
+    n = 64
+    sl = host_local_slice(n)
+    assert sl == slice(0, 64)  # single process owns everything
+    arr = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+    g = global_batch_from_host_local(mesh, arr[sl])
+    assert g.shape == (n, 3)
+    np.testing.assert_array_equal(np.asarray(g), arr)
+    assert len(g.sharding.device_set) == 8
+
+
+def test_evaluate_splits(mesh):
+    import jax
+    import densityflows_tpu as df
+    from densityflows_tpu.train import evaluate
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 3)).astype(np.float32)
+    th = rng.uniform(size=(200, 1)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0, f_training=0.7, f_validation=0.2)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1], key=jax.random.key(0),
+                          hidden_dim_s=8, hidden_dim_t=8))
+    flow = df.Flow(chain, data)
+    for split in ("training", "validation", "testing"):
+        v = evaluate(flow, data, split)
+        assert np.isfinite(v)
