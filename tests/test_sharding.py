@@ -120,3 +120,26 @@ def test_evaluate_splits(mesh):
     for split in ("training", "validation", "testing"):
         v = evaluate(flow, data, split)
         assert np.isfinite(v)
+
+
+def test_scaling_report_runs(mesh):
+    """Weak-scaling harness executes at 1/2/4/8 virtual devices and
+    returns sane throughput numbers (the ≥80%-linear protocol harness —
+    efficiency itself is not asserted on CPU)."""
+    import jax
+    import densityflows_tpu as df
+    from densityflows_tpu.parallel.scaling import scaling_report
+
+    def make_model(key):
+        return df.flow_chain(
+            df.coupling_block(4, None, n=1, key=key,
+                              hidden_dim_s=8, hidden_dim_t=8))
+
+    pts = scaling_report(make_model, d=4, n_cond=1,
+                         per_device_batch=64, reps=2,
+                         device_counts=[1, 2, 8])
+    assert [p.n_devices for p in pts] == [1, 2, 8]
+    for p in pts:
+        assert p.train_samples_per_sec > 0
+        assert p.sample_draws_per_sec > 0
+    assert pts[0].train_efficiency == 1.0
