@@ -295,11 +295,15 @@ def train(
         optimizer, batchsize, epochs, shuffle,
         n_train=n_train, n_valid=n_valid, batch_sharding=batch_sharding,
     )
+    import time as _time
+
+    t0 = _time.perf_counter()
     model, opt_state, tls, vls = program(
         model, opt_state, flow.base, xt, tht, xv, thv, key
     )
-    tls = np.asarray(tls)
+    tls = np.asarray(tls)  # host fetch blocks on program completion
     vls = np.asarray(vls)
+    elapsed = _time.perf_counter() - t0
     flow.model = model
     flow.train_loss.extend(float(v) for v in tls)
     flow.valid_loss.extend(float(v) for v in vls)
@@ -316,4 +320,10 @@ def train(
                 f"epoch: {len(flow.train_loss) - epochs + e + 1} | "
                 f"train_loss = {tl}, valid_loss = {vl}"
             )
+        sps = epochs * n_train / elapsed if elapsed > 0 else float("inf")
+        n_chips = max(1, jax.local_device_count())
+        print(
+            f"[{elapsed:.2f}s incl. compile | {sps:,.0f} samples/s "
+            f"| {sps / n_chips:,.0f} samples/s/chip]"
+        )
     return opt_state
