@@ -143,3 +143,42 @@ def test_scaling_report_runs(mesh):
         assert p.train_samples_per_sec > 0
         assert p.sample_draws_per_sec > 0
     assert pts[0].train_efficiency == 1.0
+
+
+def test_systematic_resample_sharded_matches_reference(mesh):
+    """Ring-ppermute sharded resampler == single-device prefix-sum
+    resampler for the same stratified draw (SURVEY.md §7 hard parts)."""
+    import jax
+    import jax.numpy as jnp
+    import densityflows_tpu as df
+    from densityflows_tpu.parallel.mesh import shard_batch
+    from densityflows_tpu.parallel.resample import systematic_resample_sharded
+
+    n, d = 256, 3
+    key = jax.random.key(0)
+    lw = jax.random.normal(jax.random.key(1), (n,))
+    x = jax.random.normal(jax.random.key(2), (n, d))
+
+    idx = df.systematic_resample(lw, key)
+    expected = np.asarray(x)[np.asarray(idx)]
+
+    lw_s, x_s = shard_batch(mesh, lw, x)
+    out = systematic_resample_sharded(lw_s, x_s, key, mesh)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
+
+
+def test_systematic_resample_sharded_degenerate_weights(mesh):
+    """All mass on one particle → every output row equals it."""
+    import jax
+    import jax.numpy as jnp
+    from densityflows_tpu.parallel.mesh import shard_batch
+    from densityflows_tpu.parallel.resample import systematic_resample_sharded
+
+    n, d = 64, 2
+    lw = jnp.full((n,), -1e9).at[37].set(0.0)
+    x = jax.random.normal(jax.random.key(3), (n, d))
+    lw_s, x_s = shard_batch(mesh, lw, x)
+    out = systematic_resample_sharded(lw_s, x_s, jax.random.key(4), mesh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.broadcast_to(np.asarray(x[37]), (n, d)), rtol=1e-6
+    )
