@@ -63,7 +63,7 @@ def _resample_block_local(lw_local, x_local, u0):
     filled = jnp.zeros((n_local,), jnp.bool_)
     # mark the freshly-created carries as device-varying so the fori_loop
     # carry types stay stable once ppermute data mixes in
-    filled = jax.lax.pvary(filled, (axis,))
+    filled = jax.lax.pcast(filled, (axis,), to="varying")
 
     def ring_step(step, carry):
         blk_x, blk_cdf, blk_lo, out, filled = carry
