@@ -30,7 +30,13 @@ from .models.blocks import CouplingBlock, coupling_block
 from .models.chains import FlowChain, concatenate, flow_chain
 from .models.distributions import DiagNormal, StandardNormal
 from .models.flow import Flow, nll_loss
-from .models.layers import NICECouplingLayer, RNVPCouplingLayer, coupling_layer
+from .models.layers import (
+    NICECouplingLayer,
+    RNVPCouplingLayer,
+    RQSCouplingLayer,
+    coupling_layer,
+    set_fused_kernels,
+)
 from .models.normalization import NormalizationLayer, normalization_layer
 from .ops.coupling import (
     nice_backward,
@@ -68,7 +74,8 @@ __all__ = [
     "MLP", "init_mlp", "apply_mlp",
     "rnvp_forward", "rnvp_backward", "nice_forward", "nice_backward",
     # models
-    "RNVPCouplingLayer", "NICECouplingLayer", "coupling_layer",
+    "RNVPCouplingLayer", "NICECouplingLayer", "RQSCouplingLayer",
+    "coupling_layer", "set_fused_kernels",
     "NormalizationLayer", "normalization_layer",
     "CouplingBlock", "coupling_block",
     "FlowChain", "flow_chain", "concatenate",

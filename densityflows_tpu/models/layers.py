@@ -37,8 +37,8 @@ from ..ops.mlp import MLP, init_mlp, apply_mlp, count_params
 from ..ops import coupling as C
 
 __all__ = [
-    "RNVPCouplingLayer", "NICECouplingLayer", "coupling_layer",
-    "set_fused_kernels", "use_fused",
+    "RNVPCouplingLayer", "NICECouplingLayer", "RQSCouplingLayer",
+    "coupling_layer", "set_fused_kernels", "use_fused",
 ]
 
 # Fused-Pallas policy: "auto" uses the fused kernels on TPU whenever the
@@ -210,6 +210,64 @@ class NICECouplingLayer:
         )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RQSCouplingLayer:
+    """Rational-quadratic spline coupling layer (Neural Spline Flows,
+    Durkan et al. 2019 — capability addition beyond the reference's
+    affine couplings; see ``ops/spline.py``).
+
+    The conditioner MLP maps (θ ⊕ identity dims) to ``3K−1`` raw spline
+    parameters per transformed dim; the elementwise monotone spline acts
+    on ``[-bound, bound]`` with identity tails.
+    """
+
+    p_net: MLP
+    axes: CouplingAxes = dataclasses.field(metadata=dict(static=True))
+    n_bins: int = dataclasses.field(metadata=dict(static=True), default=8)
+    bound: float = dataclasses.field(metadata=dict(static=True), default=3.0)
+
+    def _params(self, y, theta):
+        from ..ops.spline import n_spline_params
+
+        y_id, y_af = C.split_features(y, self.axes)
+        raw = apply_mlp(self.p_net, C.nn_input(y_id, theta))
+        a = self.axes.transform_dim
+        raw = raw.reshape(raw.shape[:-1] + (a, n_spline_params(self.n_bins)))
+        return y_id, y_af, raw
+
+    def forward(self, z, theta):
+        from ..ops.spline import rq_spline
+
+        z_id, z_af, raw = self._params(z, theta)
+        x_af, ldj_e = rq_spline(z_af, raw, bound=self.bound, inverse=False)
+        return (
+            C.recombine_features(z_id, x_af, self.axes),
+            jnp.sum(ldj_e, axis=-1),
+        )
+
+    def inverse(self, x, theta):
+        from ..ops.spline import rq_spline
+
+        x_id, x_af, raw = self._params(x, theta)
+        z_af, ldj_e = rq_spline(x_af, raw, bound=self.bound, inverse=True)
+        return (
+            C.recombine_features(x_id, z_af, self.axes),
+            jnp.sum(ldj_e, axis=-1),
+        )
+
+    def forward_(self, z, theta):
+        return self.forward(z, theta)[0]
+
+    def summarize(self) -> str:
+        return (
+            f"RQSCouplingLayer  | p_net > {list(self.p_net.dims)} "
+            f"({count_params(self.p_net)} parameters, K={self.n_bins}, "
+            f"bound={self.bound})\n"
+            f"                  | axes  > {self.axes.summarize()}"
+        )
+
+
 def coupling_layer(
     d_or_axes_or_data,
     mask: Sequence[int] | int | None = None,
@@ -226,6 +284,8 @@ def coupling_layer(
     activation_t: str = "relu",
     bias: bool = True,
     dtype=jnp.float32,
+    n_bins: int = 8,
+    bound: float = 3.0,
 ):
     """Build a coupling layer with default conditioner MLPs.
 
@@ -258,6 +318,15 @@ def coupling_layer(
         key = jax.random.key(0)
     in_dim, out_dim = axes.nn_input_dim, axes.transform_dim
     k_s, k_t = jax.random.split(key)
+    if kind is RQSCouplingLayer:
+        from ..ops.spline import n_spline_params
+
+        p_net = init_mlp(
+            k_t, in_dim, out_dim * n_spline_params(n_bins), n_sublayers_t,
+            hidden_dim=hidden_dim_t, activation=activation_t, bias=bias,
+            dtype=dtype,
+        )
+        return RQSCouplingLayer(p_net, axes, n_bins, float(bound))
     t_net = init_mlp(
         k_t, in_dim, out_dim, n_sublayers_t,
         hidden_dim=hidden_dim_t, activation=activation_t, bias=bias, dtype=dtype,

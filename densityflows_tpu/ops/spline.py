@@ -1,0 +1,114 @@
+"""Monotonic rational-quadratic spline transforms (Neural Spline Flows).
+
+Capability addition beyond the reference's affine/additive couplings
+(reference has only RealNVP/NICE, src/affine/): an elementwise monotone
+RQ spline on [-B, B] with identity tails, following Durkan et al. 2019
+(PAPERS.md: https://arxiv.org/pdf/1906.04032) — implemented from the
+published equations, vectorized over (batch..., dims, K) so the bin
+search and the rational-quadratic evaluation fuse into the conditioner
+matmuls under XLA.
+
+Parameterization per transformed dim (3K − 1 raw numbers): softmax bin
+widths/heights rescaled to the interval, softplus interior knot
+derivatives (boundary derivatives pinned to 1 so the spline meets the
+identity tails with a continuous derivative). ldj accumulates in fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["rq_spline", "n_spline_params"]
+
+_MIN_BIN = 1e-3
+_MIN_DERIV = 1e-3
+
+
+def n_spline_params(n_bins: int) -> int:
+    """Raw conditioner outputs per transformed dim: K widths + K heights
+    + (K−1) interior derivatives."""
+    return 3 * n_bins - 1
+
+
+def _make_knots(raw_w, raw_h, raw_d, bound, n_bins):
+    """(…, 3K−1) raw params → knot positions, heights, derivatives."""
+    w = jax.nn.softmax(raw_w, axis=-1)
+    w = _MIN_BIN + (1 - _MIN_BIN * n_bins) * w
+    h = jax.nn.softmax(raw_h, axis=-1)
+    h = _MIN_BIN + (1 - _MIN_BIN * n_bins) * h
+    widths = 2 * bound * w
+    heights = 2 * bound * h
+    xk = jnp.cumsum(widths, axis=-1) - bound  # right knot edges
+    yk = jnp.cumsum(heights, axis=-1) - bound
+    xk = jnp.concatenate([jnp.full_like(xk[..., :1], -bound), xk], axis=-1)
+    yk = jnp.concatenate([jnp.full_like(yk[..., :1], -bound), yk], axis=-1)
+    d = _MIN_DERIV + jax.nn.softplus(raw_d)
+    ones = jnp.ones_like(d[..., :1])
+    d = jnp.concatenate([ones, d, ones], axis=-1)  # (…, K+1), ends pinned
+    return xk, yk, widths, heights, d
+
+
+def rq_spline(inputs, params, *, bound: float = 3.0, inverse: bool = False):
+    """Apply the elementwise RQ spline (or its inverse) with identity tails.
+
+    ``inputs``: (…,) values; ``params``: (…, 3K−1) raw conditioner
+    outputs broadcastable against inputs. Returns ``(outputs, ldj_elem)``
+    where ``ldj_elem`` is the per-ELEMENT log|dy/dx| (fp32) — sum it over
+    the feature axis for the coupling-layer ldj.
+    """
+    n_bins = (params.shape[-1] + 1) // 3
+    raw_w = params[..., :n_bins]
+    raw_h = params[..., n_bins : 2 * n_bins]
+    raw_d = params[..., 2 * n_bins :]
+    xk, yk, widths, heights, d = _make_knots(raw_w, raw_h, raw_d, bound, n_bins)
+
+    inside = jnp.logical_and(inputs >= -bound, inputs <= bound)
+    # clamp for safe gather; outside values pass through identity
+    t = jnp.clip(inputs, -bound, bound)
+
+    knots = yk if inverse else xk
+    # bin index: last knot edge ≤ t  (searchsorted over the knot axis)
+    k = jnp.clip(
+        jnp.sum((knots[..., :-1] <= t[..., None]).astype(jnp.int32), axis=-1) - 1,
+        0,
+        n_bins - 1,
+    )
+
+    take = lambda a: jnp.take_along_axis(a, k[..., None], axis=-1)[..., 0]
+    x0, y0 = take(xk), take(yk)
+    wk, hk = take(widths), take(heights)
+    d0, d1 = take(d[..., :-1]), take(d[..., 1:])
+    sk = hk / wk
+
+    if not inverse:
+        xi = (t - x0) / wk
+        om = xi * (1 - xi)
+        denom = sk + (d1 + d0 - 2 * sk) * om
+        y = y0 + hk * (sk * xi * xi + d0 * om) / denom
+        deriv = (
+            sk * sk * (d1 * xi * xi + 2 * sk * om + d0 * (1 - xi) ** 2)
+        ) / (denom * denom)
+        out = jnp.where(inside, y, inputs)
+    else:
+        # solve the quadratic a ξ² + b ξ + c = 0 for ξ (Durkan et al. App. A)
+        dy = t - y0
+        a = hk * (sk - d0) + dy * (d1 + d0 - 2 * sk)
+        b = hk * d0 - dy * (d1 + d0 - 2 * sk)
+        c = -sk * dy
+        disc = jnp.maximum(b * b - 4 * a * c, 0.0)
+        xi = 2 * c / (-b - jnp.sqrt(disc))
+        xi = jnp.clip(xi, 0.0, 1.0)
+        om = xi * (1 - xi)
+        denom = sk + (d1 + d0 - 2 * sk) * om
+        x = x0 + wk * xi
+        deriv = (
+            sk * sk * (d1 * xi * xi + 2 * sk * om + d0 * (1 - xi) ** 2)
+        ) / (denom * denom)
+        out = jnp.where(inside, x, inputs)
+
+    ldj = jnp.where(inside, jnp.log(deriv.astype(jnp.float32)), 0.0)
+    if inverse:
+        ldj = -ldj
+    return out, ldj

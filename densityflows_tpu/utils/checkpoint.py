@@ -31,7 +31,11 @@ from ..models.blocks import CouplingBlock
 from ..models.chains import FlowChain
 from ..models.distributions import DiagNormal, StandardNormal
 from ..models.flow import Flow
-from ..models.layers import NICECouplingLayer, RNVPCouplingLayer
+from ..models.layers import (
+    NICECouplingLayer,
+    RNVPCouplingLayer,
+    RQSCouplingLayer,
+)
 from ..models.normalization import NormalizationLayer
 from ..ops.mlp import MLP
 
@@ -91,6 +95,14 @@ def element_spec(el) -> dict:
             "t_net": element_spec(el.t_net),
             "axes": _axes_spec(el.axes),
         }
+    if isinstance(el, RQSCouplingLayer):
+        return {
+            "type": "RQSCouplingLayer",
+            "p_net": element_spec(el.p_net),
+            "axes": _axes_spec(el.axes),
+            "n_bins": int(el.n_bins),
+            "bound": float(el.bound),
+        }
     if isinstance(el, NormalizationLayer):
         return {
             "type": "NormalizationLayer",
@@ -140,6 +152,13 @@ def element_from_spec(spec: dict):
     if t == "NICECouplingLayer":
         return NICECouplingLayer(
             element_from_spec(spec["t_net"]), _axes_from_spec(spec["axes"])
+        )
+    if t == "RQSCouplingLayer":
+        return RQSCouplingLayer(
+            element_from_spec(spec["p_net"]),
+            _axes_from_spec(spec["axes"]),
+            spec["n_bins"],
+            spec["bound"],
         )
     if t == "NormalizationLayer":
         dtype = jnp.dtype(spec["dtype"])
