@@ -49,7 +49,13 @@ _FUSED_MIN_BATCH = 4096
 
 
 def set_fused_kernels(mode: str | bool) -> None:
-    """Set the fused-kernel policy: "auto" (default), True, or False."""
+    """Set the fused-kernel policy: "auto" (default), True, or False.
+
+    The policy is read at TRACE time: programs already compiled keep the
+    path they were traced with (call ``jax.clear_caches()`` to force
+    retracing after a mode change — the test suite does this implicitly
+    by jitting fresh closures).
+    """
     global _FUSED_MODE
     if mode not in ("auto", True, False):
         raise ValueError("mode must be 'auto', True, or False")
