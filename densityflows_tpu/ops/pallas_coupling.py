@@ -53,12 +53,6 @@ __all__ = [
 # default batch-tile rows; 512×(K+A+H)×4B stays far below the 16 MB VMEM
 DEFAULT_TB = 512
 
-# s is clamped to ±SCALE_CLAMP before exp() in both the fused kernels and
-# nowhere else — the jnp oracle path matches the reference exactly; the
-# clamp only guards the padded garbage-free fused path against overflow
-# in bf16 mode. Chosen far outside any trained value (exp(±30)).
-_INTERPRET_CACHE: dict = {}
-
 
 def pallas_available() -> bool:
     """True when the default backend can run these kernels compiled."""
