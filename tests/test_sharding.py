@@ -23,6 +23,11 @@ def mesh():
     return make_mesh((8,), ("data",))
 
 
+@pytest.fixture(scope="module")
+def mesh2d():
+    return make_mesh((4, 2), ("data", "model"))
+
+
 def _flow_and_data(seed=0):
     rng = np.random.default_rng(seed)
     x = rng.normal(size=(512, 4)).astype(np.float32)
@@ -182,3 +187,43 @@ def test_systematic_resample_sharded_degenerate_weights(mesh):
     np.testing.assert_allclose(
         np.asarray(out), np.broadcast_to(np.asarray(x[37]), (n, d)), rtol=1e-6
     )
+
+
+def test_tp_training_matches_replicated(mesh2d):
+    """Megatron-style TP on the conditioner MLPs gives the same loss as
+    replicated params (collectives inserted by GSPMD)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import densityflows_tpu as df
+    from densityflows_tpu.parallel.mesh import (
+        data_sharding, replicated, shard_params_tp,
+    )
+    from densityflows_tpu.train import make_train_step
+
+    rng = np.random.default_rng(0)
+    d, n, hidden, batch = 4, 1, 16, 32
+    chain = df.flow_chain(
+        df.coupling_block(d, None, n=n, key=jax.random.key(0),
+                          hidden_dim_s=hidden, hidden_dim_t=hidden))
+    base = df.StandardNormal(d)
+    opt = optax.adam(1e-3)
+    x = rng.normal(size=(batch, d)).astype(np.float32)
+    th = rng.uniform(size=(batch, n)).astype(np.float32)
+    mask = np.ones((batch,), np.float32)
+
+    def run(params_placer):
+        # fresh buffers per run: device_put may alias, and the donating
+        # train step would delete the shared originals
+        model = params_placer(jax.tree_util.tree_map(jnp.array, chain))
+        opt_state = jax.device_put(opt.init(model), replicated(mesh2d))
+        step = make_train_step(opt)
+        xs = jax.device_put(x, data_sharding(mesh2d, 2))
+        ths = jax.device_put(th, data_sharding(mesh2d, 2))
+        ms = jax.device_put(mask, data_sharding(mesh2d, 1))
+        _, _, loss = step(model, opt_state, base, xs, ths, ms)
+        return float(loss)
+
+    loss_rep = run(lambda m: jax.device_put(m, replicated(mesh2d)))
+    loss_tp = run(lambda m: shard_params_tp(mesh2d, m))
+    np.testing.assert_allclose(loss_tp, loss_rep, rtol=1e-5)
