@@ -85,9 +85,14 @@ def normalization_layer(x, alpha: float = 0.0, beta: float = 1.0) -> Normalizati
         raise ValueError("normalization bounds must satisfy beta > alpha")
     x = np.asarray(x)
     flat = x.reshape(-1, x.shape[-1])
+    lo, hi = flat.min(axis=0), flat.max(axis=0)
+    degenerate = np.flatnonzero(hi <= lo)
+    if degenerate.size:
+        raise ValueError(
+            f"data dims {degenerate.tolist()} have zero range — the "
+            "normalization ldj log(Δx/δ) would be -inf; drop or jitter "
+            "constant dims before building the layer"
+        )
     return NormalizationLayer(
-        jnp.asarray(flat.min(axis=0)),
-        jnp.asarray(flat.max(axis=0)),
-        float(alpha),
-        float(beta),
+        jnp.asarray(lo), jnp.asarray(hi), float(alpha), float(beta)
     )

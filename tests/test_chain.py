@@ -114,3 +114,10 @@ def test_normalization_not_trainable():
     g = jax.grad(loss)(layer)
     np.testing.assert_array_equal(np.asarray(g.x_min), 0.0)
     np.testing.assert_array_equal(np.asarray(g.x_max), 0.0)
+
+
+def test_normalization_rejects_constant_dims():
+    x = np.ones((10, 3), np.float32)
+    x[:, 0] = np.linspace(0, 1, 10)
+    with pytest.raises(ValueError, match="zero range"):
+        df.normalization_layer(x, -1.0, 1.0)
