@@ -179,6 +179,55 @@ def make_train_program(
     return train_program
 
 
+def _train_with_checkpoints(
+    flow, data, optimizer, opt_state, *, epochs, batchsize, shuffle,
+    verbose, key, mesh, debug, checkpoint_dir, checkpoint_every, resume,
+):
+    """Chunked fused-program training with checkpoint-restart recovery.
+
+    Every chunk is the SAME ``checkpoint_every``-epoch fused program
+    (one jit cache entry), so chunking costs one host roundtrip + one
+    checkpoint write per chunk, not a recompile.
+    """
+    import os
+
+    from .utils.checkpoint import save_flow, load_flow
+
+    if optimizer is None:
+        optimizer = _default_adam()
+    if key is None:
+        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+
+    done = 0
+    if resume and os.path.exists(os.path.join(checkpoint_dir, "flow.json")):
+        restored = load_flow(checkpoint_dir, optimizer)
+        if isinstance(restored, tuple):
+            restored_flow, opt_state = restored
+        else:
+            restored_flow, opt_state = restored, None
+        flow.model = restored_flow.model
+        flow.train_loss[:] = restored_flow.train_loss
+        flow.valid_loss[:] = restored_flow.valid_loss
+        done = len(flow.train_loss)
+        if verbose and done:
+            print(f"[resumed from {checkpoint_dir} at epoch {done}]")
+
+    target = max(epochs, done)
+    # per-chunk keys derived from position so a resumed run replays the
+    # exact shuffle sequence of an uninterrupted one
+    while done < target:
+        chunk = min(checkpoint_every, target - done)
+        chunk_key = jax.random.fold_in(key, done)
+        opt_state = train(
+            flow, data, optimizer, opt_state,
+            epochs=chunk, batchsize=batchsize, shuffle=shuffle,
+            verbose=verbose, key=chunk_key, mesh=mesh, debug=debug,
+        )
+        done += chunk
+        save_flow(checkpoint_dir, flow, opt_state, erase=True)
+    return opt_state
+
+
 def evaluate(flow: Flow, data: DataArrays, split: str = "testing") -> float:
     """Full-split NLL on ``'training'``/``'validation'``/``'testing'``.
 
@@ -241,6 +290,9 @@ def train(
     key=None,
     mesh=None,
     debug: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
 ):
     """Train the flow by NLL (reference ``train!``, src/Flows.jl:380-445).
 
@@ -249,9 +301,23 @@ def train(
     (test/runtests.jl:114). θ is normalized once via the flow's metadata
     (src/Flows.jl:391-392). Runs as one fused on-device program.
 
+    Fault tolerance (no reference counterpart, SURVEY.md §5): with
+    ``checkpoint_dir`` set, the run is chunked into fused programs of
+    ``checkpoint_every`` epochs with a full checkpoint (model + optimizer
+    state + histories) written between chunks; ``resume=True`` restarts
+    from the last checkpoint, skipping already-completed epochs.
+
     Returns ``opt_state`` so training can be continued exactly (the
     reference loses optimizer state across save/load; we keep it).
     """
+    if checkpoint_dir is not None:
+        return _train_with_checkpoints(
+            flow, data, optimizer, opt_state,
+            epochs=epochs, batchsize=batchsize, shuffle=shuffle,
+            verbose=verbose, key=key, mesh=mesh, debug=debug,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, resume=resume,
+        )
     if optimizer is None:
         optimizer = _default_adam()
     if key is None:

@@ -168,3 +168,45 @@ def test_orbax_restore_with_sharding(tmp_path):
     z1, l1 = flow.inverse(x)
     z2, l2 = flow2.inverse(x)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-6)
+
+
+def test_train_checkpoint_restart_recovery(tmp_path):
+    """Kill-and-resume: a run interrupted mid-way resumes from the last
+    checkpoint and ends bit-identical to an uninterrupted run
+    (checkpoint-restart recovery story, SURVEY.md §5)."""
+    import optax
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(300, 3)).astype(np.float32)
+    data = df.DataArrays.make(x, rng=0)
+
+    def fresh_flow():
+        chain = df.flow_chain(
+            df.coupling_layer(3, [0, 1], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+        )
+        md = df.MetaData("", 3, 0, np.zeros(0, np.float32), np.zeros(0, np.float32))
+        return df.Flow(jax.tree_util.tree_map(jnp.array, chain), md)
+
+    opt = optax.adam(1e-3)
+    key = jax.random.key(7)
+
+    # uninterrupted chunked run: 6 epochs in chunks of 2
+    flow_a = fresh_flow()
+    df.train(flow_a, data, opt, epochs=6, verbose=False, key=key,
+             checkpoint_dir=str(tmp_path / "a"), checkpoint_every=2)
+
+    # interrupted run: stop after 4 epochs, then resume to 6
+    flow_b = fresh_flow()
+    df.train(flow_b, data, opt, epochs=4, verbose=False, key=key,
+             checkpoint_dir=str(tmp_path / "b"), checkpoint_every=2)
+    flow_b2 = fresh_flow()  # simulate a fresh process
+    df.train(flow_b2, data, opt, epochs=6, verbose=False, key=key,
+             checkpoint_dir=str(tmp_path / "b"), checkpoint_every=2,
+             resume=True)
+
+    assert len(flow_b2.train_loss) == 6
+    np.testing.assert_allclose(flow_b2.train_loss, flow_a.train_loss, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(flow_a.model),
+                    jax.tree_util.tree_leaves(flow_b2.model)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
