@@ -243,6 +243,7 @@ def fit_variational(
     steps: int = 1000,
     n_particles: int = 1024,
     key=None,
+    mesh=None,
     verbose: bool = False,
 ):
     """Variational fit: minimize KL(q_flow ‖ p) for unnormalized log p.
@@ -264,13 +265,22 @@ def fit_variational(
     theta_n = flow.prepare_theta(theta, (n_particles,))
     base = flow.base
 
-    cache_key = (id(optimizer), id(log_density), steps, n_particles)
+    particle_sharding = None
+    if mesh is not None:
+        from .parallel.mesh import data_sharding
+
+        particle_sharding = data_sharding(mesh, 2)
+
+    cache_key = (id(optimizer), id(log_density), steps, n_particles,
+                 particle_sharding)
     if cache_key in _VI_CACHE:
         program = _VI_CACHE[cache_key]
     else:
 
         def vi_loss(model, k):
             z = base.sample(k, (n_particles,))
+            if particle_sharding is not None:
+                z = jax.lax.with_sharding_constraint(z, particle_sharding)
             x, ldj = model.forward(z, theta_n)
             log_q = base.log_prob(z) - ldj
             return jnp.mean(log_q - log_density(x))
