@@ -292,6 +292,7 @@ def coupling_layer(
     dtype=jnp.float32,
     n_bins: int = 8,
     bound: float = 3.0,
+    zero_init_final: bool = True,
 ):
     """Build a coupling layer with default conditioner MLPs.
 
@@ -307,6 +308,14 @@ def coupling_layer(
     (src/Layers.jl:113-123). Conditioner input width =
     ``len(axis_nn)``, output width = ``len(axis_af)``
     (src/Layers.jl:126-127).
+
+    Deliberate deviation: ``zero_init_final=True`` zero-initializes each
+    conditioner's last dense layer, so every coupling layer is the
+    identity at init. The reference's glorot-everywhere init makes deep
+    or high-dimensional chains overflow through exp(s) at the first
+    step (its 5-D examples never hit this); identity-at-init is the
+    standard RealNVP/Glow stabilization. Pass ``False`` for the
+    reference's exact init.
     """
     from ..data import DataArrays  # local import to avoid a cycle
 
@@ -330,17 +339,19 @@ def coupling_layer(
         p_net = init_mlp(
             k_t, in_dim, out_dim * n_spline_params(n_bins), n_sublayers_t,
             hidden_dim=hidden_dim_t, activation=activation_t, bias=bias,
-            dtype=dtype,
+            dtype=dtype, zero_final=zero_init_final,
         )
         return RQSCouplingLayer(p_net, axes, n_bins, float(bound))
     t_net = init_mlp(
         k_t, in_dim, out_dim, n_sublayers_t,
         hidden_dim=hidden_dim_t, activation=activation_t, bias=bias, dtype=dtype,
+        zero_final=zero_init_final,
     )
     if kind is NICECouplingLayer:
         return NICECouplingLayer(t_net, axes)
     s_net = init_mlp(
         k_s, in_dim, out_dim, n_sublayers_s,
         hidden_dim=hidden_dim_s, activation=activation_s, bias=bias, dtype=dtype,
+        zero_final=zero_init_final,
     )
     return RNVPCouplingLayer(s_net, t_net, axes)

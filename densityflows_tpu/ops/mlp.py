@@ -77,17 +77,30 @@ def init_mlp(
     activation: str = "relu",
     bias: bool = True,
     dtype=jnp.float32,
+    zero_final: bool = False,
 ) -> MLP:
     """Build an MLP matching the reference ``_dflt_net`` architecture
     (src/Layers.jl:29-47): in→hidden(σ), (n_sublayers-1)×hidden→hidden(σ),
-    hidden→out (linear)."""
+    hidden→out (linear).
+
+    ``zero_final=True`` zero-initializes the last dense layer so a
+    coupling conditioner outputs s=t=0 at init — the flow starts as the
+    identity. This is the stability fix for deep/high-d chains where
+    glorot-initialized s-nets cascade through exp(s) to overflow (the
+    reference's tiny 5-D configs never hit this; its mitigation is the
+    trailing NormalizationLayer, docs/src/documentation.md:61).
+    """
     if n_sublayers < 1:
         raise ValueError("n_sublayers must be >= 1")
     dims = [input_dim] + [hidden_dim] * n_sublayers + [output_dim]
     keys = jax.random.split(key, len(dims) - 1)
     weights, biases = [], []
-    for k, d_in, d_out in zip(keys, dims[:-1], dims[1:]):
-        weights.append(_glorot_uniform(k, (d_in, d_out), dtype))
+    n_layers = len(dims) - 1
+    for i, (k, d_in, d_out) in enumerate(zip(keys, dims[:-1], dims[1:])):
+        if zero_final and i == n_layers - 1:
+            weights.append(jnp.zeros((d_in, d_out), dtype))
+        else:
+            weights.append(_glorot_uniform(k, (d_in, d_out), dtype))
         biases.append(jnp.zeros((d_out,), dtype) if bias else jnp.zeros((0,), dtype))
     return MLP(tuple(weights), tuple(biases), activation)
 

@@ -227,3 +227,68 @@ def test_tp_training_matches_replicated(mesh2d):
     loss_rep = run(lambda m: jax.device_put(m, replicated(mesh2d)))
     loss_tp = run(lambda m: shard_params_tp(mesh2d, m))
     np.testing.assert_allclose(loss_tp, loss_rep, rtol=1e-5)
+
+
+def test_128d_flow_dp_training(mesh):
+    """BASELINE config 5 shape: 128-D flow, data-parallel batch over the
+    mesh, one fused step executes and the loss is finite."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import densityflows_tpu as df
+    from densityflows_tpu.parallel.mesh import data_sharding, replicated
+    from densityflows_tpu.train import make_train_step
+
+    d, n, hidden, batch = 128, 4, 64, 256
+    rng = np.random.default_rng(0)
+    chain = df.flow_chain(
+        df.coupling_block(d, None, n=n, key=jax.random.key(0),
+                          hidden_dim_s=hidden, hidden_dim_t=hidden),
+        df.coupling_block(d, None, n=n, key=jax.random.key(1),
+                          hidden_dim_s=hidden, hidden_dim_t=hidden),
+    )
+    base = df.StandardNormal(d)
+    opt = optax.adam(1e-3)
+    model = jax.device_put(chain, replicated(mesh))
+    opt_state = jax.device_put(opt.init(model), replicated(mesh))
+    x = jax.device_put(rng.normal(size=(batch, d)).astype(np.float32),
+                       data_sharding(mesh, 2))
+    th = jax.device_put(rng.uniform(size=(batch, n)).astype(np.float32),
+                        data_sharding(mesh, 2))
+    mask = jax.device_put(np.ones((batch,), np.float32),
+                          data_sharding(mesh, 1))
+    step = make_train_step(opt)
+    model, opt_state, loss = step(model, opt_state, base, x, th, mask)
+    assert np.isfinite(float(loss))
+    # sampling sweep at 128-D
+    r = jax.device_put(rng.normal(size=(batch, d)).astype(np.float32),
+                       data_sharding(mesh, 2))
+    out = jax.jit(lambda m, rr, tt: m.forward_(rr, tt))(model, r, th)
+    assert out.shape == (batch, d)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_donated_buffers_are_consumed():
+    """Donation contract of the fused step: the donated model buffers are
+    invalidated by the call (the aliasing hazard the reference handles by
+    in-place convention, SURVEY.md §5 'race detection')."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import densityflows_tpu as df
+    from densityflows_tpu.train import make_train_step
+
+    chain = df.flow_chain(
+        df.coupling_layer(2, [0], key=jax.random.key(0),
+                          hidden_dim_s=4, hidden_dim_t=4))
+    base = df.StandardNormal(2)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(chain)
+    step = make_train_step(opt)
+    x = jnp.zeros((8, 2))
+    th = jnp.zeros((8, 0))
+    mask = jnp.ones((8,))
+    new_model, new_opt, _ = step(chain, opt_state, base, x, th, mask)
+    old_leaf = jax.tree_util.tree_leaves(chain)[0]
+    with pytest.raises(RuntimeError, match="deleted"):
+        _ = np.asarray(old_leaf)  # donated buffer must be gone
