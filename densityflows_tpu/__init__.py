@@ -63,6 +63,13 @@ from .utils.config import NetConfig, DataConfig, TrainConfig, FlowConfig
 
 __version__ = "0.1.0"
 
+
+def summarize(obj) -> str:
+    """Pretty-print any flow element / chain / flow / data container
+    (reference ``summarize``, src/DensityFlows.jl:57 and per-type
+    methods)."""
+    return obj.summarize()
+
 __all__ = [
     # axes
     "CouplingAxes", "coupling_axes", "reverse_axes", "is_reverse",
@@ -88,6 +95,7 @@ __all__ = [
     "fit_posterior", "fit_variational",
     "effective_sample_size", "systematic_resample",
     "SMCState", "smc_step", "run_smc",
+    "summarize",
     # persistence
     "save_flow", "load_flow", "save_element", "load_element",
     # config

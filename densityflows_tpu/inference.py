@@ -193,7 +193,10 @@ def fit_posterior(
             key=key, mesh=mesh, verbose=verbose,
         )
 
-    # weighted path: per-batch weighted steps (host batcher, jitted step)
+    # weighted path: per-batch weighted steps (host batcher, jitted step).
+    # History bookkeeping: appends the LAST batch's weighted loss per
+    # epoch (cheaper than a full-split weighted eval; the unweighted path
+    # keeps the reference's full-split per-epoch histories).
     if optimizer is None:
         optimizer = _default_adam()
     if key is None:
