@@ -37,7 +37,12 @@ from .models.layers import (
     coupling_layer,
     set_fused_kernels,
 )
-from .models.normalization import NormalizationLayer, normalization_layer
+from .models.normalization import (
+    NormalizationLayer,
+    normalization_layer,
+    PermutationLayer,
+    permutation_layer,
+)
 from .ops.coupling import (
     nice_backward,
     nice_forward,
@@ -84,6 +89,7 @@ __all__ = [
     "RNVPCouplingLayer", "NICECouplingLayer", "RQSCouplingLayer",
     "coupling_layer", "set_fused_kernels",
     "NormalizationLayer", "normalization_layer",
+    "PermutationLayer", "permutation_layer",
     "CouplingBlock", "coupling_block",
     "FlowChain", "flow_chain", "concatenate",
     "StandardNormal", "DiagNormal",

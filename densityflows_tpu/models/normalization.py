@@ -22,7 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["NormalizationLayer", "normalization_layer"]
+__all__ = [
+    "NormalizationLayer", "normalization_layer",
+    "PermutationLayer", "permutation_layer",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -71,6 +74,52 @@ class NormalizationLayer:
 
     def summarize(self) -> str:
         return "Normalization Layer"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PermutationLayer:
+    """Fixed feature permutation (ldj = 0). No reference counterpart —
+    standard flow utility for mixing dims between couplings without
+    hand-picking masks; the permutation is a static gather XLA folds into
+    the adjacent coupling's slice pattern.
+    """
+
+    perm: tuple = dataclasses.field(metadata=dict(static=True))
+
+    def _inv(self):
+        inv = np.empty(len(self.perm), np.int64)
+        inv[list(self.perm)] = np.arange(len(self.perm))
+        return inv.tolist()
+
+    def forward(self, z, theta=None):
+        return z[..., list(self.perm)], jnp.zeros(z.shape[:-1], jnp.float32)
+
+    def inverse(self, x, theta=None):
+        return x[..., self._inv()], jnp.zeros(x.shape[:-1], jnp.float32)
+
+    def forward_(self, z, theta=None):
+        return z[..., list(self.perm)]
+
+    def summarize(self) -> str:
+        return f"Permutation Layer {list(self.perm)}"
+
+
+def permutation_layer(perm_or_d, *, key=None) -> PermutationLayer:
+    """``permutation_layer([2,0,1])`` for an explicit permutation, or
+    ``permutation_layer(d, key=...)`` for a random one (reversed range
+    when no key is given)."""
+    if isinstance(perm_or_d, int):
+        d = perm_or_d
+        if key is None:
+            perm = tuple(reversed(range(d)))
+        else:
+            perm = tuple(int(i) for i in jax.random.permutation(key, d))
+    else:
+        perm = tuple(int(i) for i in perm_or_d)
+        if sorted(perm) != list(range(len(perm))):
+            raise ValueError(f"{perm} is not a permutation of range({len(perm)})")
+    return PermutationLayer(perm)
 
 
 def normalization_layer(x, alpha: float = 0.0, beta: float = 1.0) -> NormalizationLayer:

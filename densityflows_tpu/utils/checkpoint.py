@@ -36,7 +36,7 @@ from ..models.layers import (
     RNVPCouplingLayer,
     RQSCouplingLayer,
 )
-from ..models.normalization import NormalizationLayer
+from ..models.normalization import NormalizationLayer, PermutationLayer
 from ..ops.mlp import MLP
 
 __all__ = [
@@ -111,6 +111,8 @@ def element_spec(el) -> dict:
             "alpha": float(el.alpha),
             "beta": float(el.beta),
         }
+    if isinstance(el, PermutationLayer):
+        return {"type": "PermutationLayer", "perm": list(el.perm)}
     if isinstance(el, CouplingBlock):
         return {
             "type": "CouplingBlock",
@@ -165,6 +167,8 @@ def element_from_spec(spec: dict):
         z = jnp.zeros((spec["d"],), dtype)
         # skeleton x_max=1 keeps the zero-array skeleton valid (x_max > x_min)
         return NormalizationLayer(z, z + 1, spec["alpha"], spec["beta"])
+    if t == "PermutationLayer":
+        return PermutationLayer(tuple(spec["perm"]))
     if t == "CouplingBlock":
         return CouplingBlock(
             element_from_spec(spec["layer_1"]), element_from_spec(spec["layer_2"])

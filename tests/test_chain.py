@@ -31,7 +31,10 @@ def test_block_requires_complementary_axes():
 
 
 def test_block_transforms_every_dim():
-    _, _, block = _layers()
+    # glorot-everywhere init: zero-init-final blocks are the identity at
+    # init by design, which would defeat this structural check
+    block = df.coupling_block(7, [3, 1, 4, 0], n=2, key=jax.random.key(3),
+                              zero_init_final=False)
     z = jnp.asarray(np.random.default_rng(0).normal(size=(6, 7)).astype(np.float32))
     th = jnp.asarray(np.random.default_rng(1).normal(size=(6, 2)).astype(np.float32))
     x, _ = block.forward(z, th)
@@ -121,3 +124,33 @@ def test_normalization_rejects_constant_dims():
     x[:, 0] = np.linspace(0, 1, 10)
     with pytest.raises(ValueError, match="zero range"):
         df.normalization_layer(x, -1.0, 1.0)
+
+
+def test_permutation_layer_roundtrip_and_checkpoint(tmp_path):
+    import jax
+
+    perm = df.permutation_layer([2, 0, 1, 3])
+    x = jax.random.normal(jax.random.key(0), (10, 4))
+    y, ldj = perm.forward(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x)[:, [2, 0, 1, 3]])
+    np.testing.assert_array_equal(np.asarray(ldj), 0.0)
+    x2, _ = perm.inverse(y)
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+
+    chain = df.flow_chain(
+        df.coupling_layer(4, [0, 1], key=jax.random.key(1),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        perm,
+        df.coupling_layer(4, [0, 1], key=jax.random.key(2),
+                          hidden_dim_s=8, hidden_dim_t=8),
+    )
+    z, ldj_b = chain.inverse(x, None and None or jax.numpy.zeros((10, 0)))
+    x3, ldj_f = chain.forward(z, jax.numpy.zeros((10, 0)))
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x), atol=1e-5)
+
+    df.save_element(str(tmp_path / "perm"), perm)
+    p2 = df.load_element(str(tmp_path / "perm"))
+    assert p2.perm == perm.perm
+
+    with pytest.raises(ValueError, match="not a permutation"):
+        df.permutation_layer([0, 0, 1])
