@@ -64,7 +64,9 @@ from .inference import (
     weighted_nll_loss,
 )
 from .utils.checkpoint import save_flow, load_flow, save_element, load_element
-from .utils.config import NetConfig, DataConfig, TrainConfig, FlowConfig
+from .utils.config import (
+    NetConfig, DataConfig, TrainConfig, FlowConfig, build_flow, run_experiment,
+)
 
 __version__ = "0.1.0"
 
@@ -106,4 +108,5 @@ __all__ = [
     "save_flow", "load_flow", "save_element", "load_element",
     # config
     "NetConfig", "DataConfig", "TrainConfig", "FlowConfig",
+    "build_flow", "run_experiment",
 ]

@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import dataclasses
 
-__all__ = ["NetConfig", "DataConfig", "TrainConfig", "FlowConfig"]
+__all__ = ["NetConfig", "DataConfig", "TrainConfig", "FlowConfig",
+           "build_flow", "run_experiment"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,3 +65,61 @@ class FlowConfig:
     n_blocks: int = 3
     norm_alpha: float = -1.0
     norm_beta: float = 1.0
+
+
+def build_flow(config: FlowConfig, data, *, key=None):
+    """Construct the standard model from a config: ``n_blocks`` coupling
+    blocks (each transforming every dim once) + a trailing
+    NormalizationLayer pinned to the data range.
+    """
+    import jax
+
+    from ..models.blocks import coupling_block
+    from ..models.chains import flow_chain
+    from ..models.flow import Flow
+    from ..models.normalization import normalization_layer
+
+    if key is None:
+        key = jax.random.key(0)
+    keys = jax.random.split(key, config.n_blocks)
+    blocks = [
+        coupling_block(data, None, key=k, **config.net.layer_kwargs())
+        for k in keys
+    ]
+    chain = flow_chain(
+        *blocks,
+        normalization_layer(data.x, config.norm_alpha, config.norm_beta),
+    )
+    return Flow(chain, data)
+
+
+def run_experiment(config: FlowConfig, x, theta=None, *, key=None, mesh=None):
+    """Data split → model build → training, all from one config.
+    Returns ``(flow, data, opt_state)``."""
+    import jax
+    import optax
+
+    from ..data import DataArrays
+    from ..train import train
+
+    if key is None:
+        key = jax.random.key(0)
+    k_model, k_train = jax.random.split(key)
+    data = DataArrays.make(
+        x, theta,
+        f_training=config.data.f_training,
+        f_validation=config.data.f_validation,
+        rng=0,
+    )
+    flow = build_flow(config, data, key=k_model)
+    optimizer = optax.adam(config.train.learning_rate)
+    opt_state = train(
+        flow, data, optimizer,
+        epochs=config.train.epochs,
+        batchsize=config.train.batchsize,
+        shuffle=config.train.shuffle,
+        verbose=config.train.verbose,
+        key=k_train,
+        mesh=mesh,
+    )
+    return flow, data, opt_state

@@ -170,3 +170,18 @@ def test_convergence_regression(fixture_data):
     df.train(flow, data, epochs=50, verbose=False, key=jax.random.key(1))
     assert flow.training_loss[-1] < 3.5
     assert flow.validation_loss[-1] < 3.6
+
+
+def test_config_driven_experiment():
+    """One-config end-to-end: split, build, train (reference defaults)."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(400, 3)).astype(np.float32)
+    cfg = df.FlowConfig(
+        net=df.NetConfig(hidden_dim_s=8, hidden_dim_t=8),
+        train=df.TrainConfig(epochs=3, verbose=False),
+        n_blocks=2,
+    )
+    flow, data, opt_state = df.run_experiment(cfg, x, key=jax.random.key(0))
+    assert len(flow.training_loss) == 3
+    assert np.all(np.isfinite(flow.training_loss))
+    assert len(flow.model) == 3  # 2 blocks + normalization
