@@ -37,6 +37,8 @@ from ..models.layers import (
     RQSCouplingLayer,
 )
 from ..models.normalization import NormalizationLayer, PermutationLayer
+from ..models.autoregressive import MAFLayer
+from ..ops.made import MaskedMLP
 from ..ops.mlp import MLP
 
 __all__ = [
@@ -81,6 +83,23 @@ def element_spec(el) -> dict:
             "bias_shapes": [list(b.shape) for b in el.biases],
             "dtype": str(el.weights[0].dtype) if el.weights else "float32",
             "activation": el.activation,
+        }
+    if isinstance(el, MaskedMLP):
+        return {
+            "type": "MaskedMLP",
+            "weight_shapes": [list(w.shape) for w in el.weights],
+            "bias_shapes": [list(b.shape) for b in el.biases],
+            "masks": [list(map(list, m)) for m in el.masks],
+            "dtype": str(el.weights[0].dtype),
+            "activation": el.activation,
+        }
+    if isinstance(el, MAFLayer):
+        return {
+            "type": "MAFLayer",
+            "net": element_spec(el.net),
+            "d": int(el.d),
+            "n": int(el.n),
+            "max_log_scale": float(el.max_log_scale),
         }
     if isinstance(el, RNVPCouplingLayer):
         return {
@@ -145,6 +164,17 @@ def element_from_spec(spec: dict):
         weights = tuple(jnp.zeros(s, dtype) for s in spec["weight_shapes"])
         biases = tuple(jnp.zeros(s, dtype) for s in spec["bias_shapes"])
         return MLP(weights, biases, spec["activation"])
+    if t == "MaskedMLP":
+        dtype = jnp.dtype(spec["dtype"])
+        weights = tuple(jnp.zeros(s, dtype) for s in spec["weight_shapes"])
+        biases = tuple(jnp.zeros(s, dtype) for s in spec["bias_shapes"])
+        masks = tuple(tuple(map(tuple, m)) for m in spec["masks"])
+        return MaskedMLP(weights, biases, masks, spec["activation"])
+    if t == "MAFLayer":
+        return MAFLayer(
+            element_from_spec(spec["net"]), spec["d"], spec["n"],
+            spec["max_log_scale"],
+        )
     if t == "RNVPCouplingLayer":
         return RNVPCouplingLayer(
             element_from_spec(spec["s_net"]),
