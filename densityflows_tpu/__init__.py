@@ -28,7 +28,7 @@ from .data import (
 )
 from .models.blocks import CouplingBlock, coupling_block
 from .models.chains import FlowChain, concatenate, flow_chain
-from .models.autoregressive import MAFLayer, maf_layer
+from .models.autoregressive import MAFLayer, maf_layer, IAFLayer, iaf_layer
 from .models.distributions import DiagNormal, StandardNormal
 from .models.flow import Flow, nll_loss
 from .models.layers import (
@@ -93,7 +93,7 @@ __all__ = [
     "coupling_layer", "set_fused_kernels",
     "NormalizationLayer", "normalization_layer",
     "PermutationLayer", "permutation_layer",
-    "MAFLayer", "maf_layer",
+    "MAFLayer", "maf_layer", "IAFLayer", "iaf_layer",
     "CouplingBlock", "coupling_block",
     "FlowChain", "flow_chain", "concatenate",
     "StandardNormal", "DiagNormal",

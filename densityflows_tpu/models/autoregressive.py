@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..ops.made import MaskedMLP, apply_made, init_made
 
-__all__ = ["MAFLayer", "maf_layer"]
+__all__ = ["MAFLayer", "maf_layer", "IAFLayer", "iaf_layer"]
 
 
 @jax.tree_util.register_dataclass
@@ -81,6 +81,58 @@ class MAFLayer:
         )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IAFLayer:
+    """Inverse autoregressive flow (Kingma et al. 2016): the MAF dual.
+
+    Parameters are autoregressive in the LATENT z, so sampling
+    (``forward``) is one parallel masked pass and density evaluation
+    (``inverse``) is the d-step scan — choose MAF for training-heavy
+    workloads, IAF for sampling-heavy ones.
+
+        forward:  x_i = z_i · exp(α_i(z_{<i}, θ)) + μ_i(z_{<i}, θ)  (parallel)
+        inverse:  z_i = (x_i − μ_i(z_{<i}, θ)) · exp(−α_i)          (scan)
+    """
+
+    net: MaskedMLP
+    d: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True), default=0)
+    max_log_scale: float = dataclasses.field(metadata=dict(static=True),
+                                             default=5.0)
+
+    _mu_alpha = MAFLayer._mu_alpha
+
+    def forward(self, z, theta):
+        mu, alpha = self._mu_alpha(z, theta)
+        x = z * jnp.exp(alpha) + mu
+        ldj = jnp.sum(alpha.astype(jnp.float32), axis=-1)
+        return x, ldj
+
+    def forward_(self, z, theta):
+        return self.forward(z, theta)[0]
+
+    def inverse(self, x, theta):
+        def body(z, i):
+            mu, alpha = self._mu_alpha(z, theta)
+            zi = (x[..., i] - mu[..., i]) * jnp.exp(-alpha[..., i])
+            z = z.at[..., i].set(zi)
+            return z, alpha[..., i]
+
+        z0 = jnp.zeros_like(x)
+        z, alphas = jax.lax.scan(body, z0, jnp.arange(self.d))
+        ldj = -jnp.sum(
+            jnp.moveaxis(alphas, 0, -1).astype(jnp.float32), axis=-1
+        )
+        return z, ldj
+
+    def summarize(self) -> str:
+        return (
+            f"IAFLayer          | made  > {list(self.net.dims)} "
+            f"(d={self.d}, n={self.n})"
+        )
+
+
 def maf_layer(
     d: int,
     *,
@@ -101,3 +153,24 @@ def maf_layer(
         hidden_dim=hidden_dim, activation=activation, dtype=dtype,
     )
     return MAFLayer(net, d, n, float(max_log_scale))
+
+
+def iaf_layer(
+    d: int,
+    *,
+    n: int = 0,
+    key=None,
+    n_sublayers: int = 2,
+    hidden_dim: int = 64,
+    activation: str = "relu",
+    max_log_scale: float = 5.0,
+    dtype=jnp.float32,
+) -> IAFLayer:
+    """Build an IAF layer (sampling-fast dual of :func:`maf_layer`)."""
+    if key is None:
+        key = jax.random.key(0)
+    net = init_made(
+        key, d, n, 2, n_sublayers,
+        hidden_dim=hidden_dim, activation=activation, dtype=dtype,
+    )
+    return IAFLayer(net, d, n, float(max_log_scale))

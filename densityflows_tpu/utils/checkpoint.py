@@ -37,7 +37,7 @@ from ..models.layers import (
     RQSCouplingLayer,
 )
 from ..models.normalization import NormalizationLayer, PermutationLayer
-from ..models.autoregressive import MAFLayer
+from ..models.autoregressive import IAFLayer, MAFLayer
 from ..ops.made import MaskedMLP
 from ..ops.mlp import MLP
 
@@ -93,9 +93,9 @@ def element_spec(el) -> dict:
             "dtype": str(el.weights[0].dtype),
             "activation": el.activation,
         }
-    if isinstance(el, MAFLayer):
+    if isinstance(el, (MAFLayer, IAFLayer)):
         return {
-            "type": "MAFLayer",
+            "type": type(el).__name__,
             "net": element_spec(el.net),
             "d": int(el.d),
             "n": int(el.n),
@@ -170,8 +170,9 @@ def element_from_spec(spec: dict):
         biases = tuple(jnp.zeros(s, dtype) for s in spec["bias_shapes"])
         masks = tuple(tuple(map(tuple, m)) for m in spec["masks"])
         return MaskedMLP(weights, biases, masks, spec["activation"])
-    if t == "MAFLayer":
-        return MAFLayer(
+    if t in ("MAFLayer", "IAFLayer"):
+        cls = MAFLayer if t == "MAFLayer" else IAFLayer
+        return cls(
             element_from_spec(spec["net"]), spec["d"], spec["n"],
             spec["max_log_scale"],
         )

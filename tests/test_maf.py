@@ -101,3 +101,30 @@ def test_maf_checkpoint_roundtrip(tmp_path):
     z1, l1 = layer.inverse(x, th)
     z2, l2 = layer2.inverse(x, th)
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+
+
+def test_iaf_roundtrip_and_duality():
+    """IAF forward is parallel and inverts exactly via the scan path."""
+    layer = df.iaf_layer(4, n=1, key=jax.random.key(9), hidden_dim=32)
+    leaves, treedef = jax.tree_util.tree_flatten(layer)
+    rng = np.random.default_rng(10)
+    leaves = [jnp.asarray(l) + 0.1 * jnp.asarray(rng.normal(size=l.shape), l.dtype)
+              for l in leaves]
+    layer = jax.tree_util.tree_unflatten(treedef, leaves)
+    z = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    th = jnp.asarray(rng.uniform(size=(6, 1)).astype(np.float32))
+    x, ldj_f = layer.forward(z, th)
+    z2, ldj_b = layer.inverse(x, th)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ldj_f + ldj_b), 0.0, atol=1e-4)
+
+
+def test_iaf_checkpoint_roundtrip(tmp_path):
+    layer = df.iaf_layer(3, key=jax.random.key(11), hidden_dim=16)
+    df.save_element(str(tmp_path / "iaf"), layer)
+    layer2 = df.load_element(str(tmp_path / "iaf"))
+    assert type(layer2).__name__ == "IAFLayer"
+    z = jax.random.normal(jax.random.key(12), (4, 3))
+    x1, _ = layer.forward(z, jnp.zeros((4, 0)))
+    x2, _ = layer2.forward(z, jnp.zeros((4, 0)))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
