@@ -182,6 +182,7 @@ def make_train_program(
 def _train_with_checkpoints(
     flow, data, optimizer, opt_state, *, epochs, batchsize, shuffle,
     verbose, key, mesh, debug, checkpoint_dir, checkpoint_every, resume,
+    metrics_log=None,
 ):
     """Chunked fused-program training with checkpoint-restart recovery.
 
@@ -222,6 +223,7 @@ def _train_with_checkpoints(
             flow, data, optimizer, opt_state,
             epochs=chunk, batchsize=batchsize, shuffle=shuffle,
             verbose=verbose, key=chunk_key, mesh=mesh, debug=debug,
+            metrics_log=metrics_log,
         )
         done += chunk
         save_flow(checkpoint_dir, flow, opt_state, erase=True)
@@ -293,6 +295,7 @@ def train(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
+    metrics_log: str | None = None,
 ):
     """Train the flow by NLL (reference ``train!``, src/Flows.jl:380-445).
 
@@ -317,6 +320,7 @@ def train(
             verbose=verbose, key=key, mesh=mesh, debug=debug,
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, resume=resume,
+            metrics_log=metrics_log,
         )
     if optimizer is None:
         optimizer = _default_adam()
@@ -373,6 +377,15 @@ def train(
     flow.model = model
     flow.train_loss.extend(float(v) for v in tls)
     flow.valid_loss.extend(float(v) for v in vls)
+
+    if metrics_log is not None:
+        from .utils.logging import MetricsLogger
+
+        logger = MetricsLogger(metrics_log)
+        epoch0 = len(flow.train_loss) - epochs
+        for e, (tl, vl) in enumerate(zip(tls, vls)):
+            logger.write(epoch=epoch0 + e + 1, train_nll=float(tl),
+                         valid_nll=float(vl))
 
     if debug and (not np.all(np.isfinite(tls)) or not np.all(np.isfinite(vls))):
         raise FloatingPointError(

@@ -185,3 +185,20 @@ def test_config_driven_experiment():
     assert len(flow.training_loss) == 3
     assert np.all(np.isfinite(flow.training_loss))
     assert len(flow.model) == 3  # 2 blocks + normalization
+
+
+def test_metrics_jsonl_logging(tmp_path):
+    from densityflows_tpu.utils.logging import MetricsLogger
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(200, 3)).astype(np.float32)
+    data = df.DataArrays.make(x, rng=0)
+    chain = df.flow_chain(df.coupling_layer(3, [0, 1], key=jax.random.key(0),
+                                            hidden_dim_s=8, hidden_dim_t=8))
+    flow = df.Flow(chain, data)
+    path = str(tmp_path / "metrics.jsonl")
+    df.train(flow, data, epochs=3, verbose=False, key=jax.random.key(1),
+             metrics_log=path)
+    recs = MetricsLogger(path).read()
+    assert [r["epoch"] for r in recs] == [1, 2, 3]
+    assert all(np.isfinite(r["train_nll"]) for r in recs)
