@@ -174,6 +174,39 @@ class Flow:
         theta_n = self.prepare_theta(theta, dims, dtype)
         return _sample_program(self.model, None, r, theta_n)
 
+    def sample_sweep(self, thetas, n_per_theta: int, *, key=None,
+                     dtype=jnp.float32, mesh=None):
+        """Conditional sampling sweep over a grid of θ values.
+
+        ``thetas``: (G, n) array (or list of tuples) of conditions.
+        Returns draws of shape (G, n_per_theta, d) from ONE jitted
+        program — the flattened (G·n_per_theta) particle axis shards
+        over ``mesh`` when given (SURVEY.md §7 M4 'sharded sampling
+        sweep over a θ grid').
+        """
+        thetas = jnp.asarray(thetas, dtype)
+        if thetas.ndim != 2 or thetas.shape[-1] != self.metadata.n:
+            raise ValueError(
+                f"thetas must have shape (G, {self.metadata.n})"
+            )
+        g = thetas.shape[0]
+        total = g * n_per_theta
+        if key is None:
+            key = jax.random.key(np.random.randint(0, 2**31 - 1))
+        theta_full = jnp.repeat(thetas, n_per_theta, axis=0)
+        theta_n = normalize_input(
+            theta_full, self._theta_min.astype(dtype),
+            self._theta_max.astype(dtype),
+        ) if self.metadata.n else theta_full
+        r = self.base.sample(key, (total,), dtype)
+        if mesh is not None:
+            from ..parallel.mesh import data_sharding
+
+            r = jax.device_put(r, data_sharding(mesh, 2))
+            theta_n = jax.device_put(theta_n, data_sharding(mesh, 2))
+        out = _sample_program(self.model, None, r, theta_n)
+        return out.reshape(g, n_per_theta, self.metadata.d)
+
     # -- densities --------------------------------------------------------
     def log_prob(self, x, theta=None):
         """log pdf at x (reference ``logpdf``, src/Flows.jl:272-281).

@@ -202,3 +202,25 @@ def test_metrics_jsonl_logging(tmp_path):
     recs = MetricsLogger(path).read()
     assert [r["epoch"] for r in recs] == [1, 2, 3]
     assert all(np.isfinite(r["train_nll"]) for r in recs)
+
+
+def test_sample_sweep_over_theta_grid(fixture_data):
+    x, theta = fixture_data
+    flow, _ = _readme_flow(x, theta)
+    thetas = np.array([[-1.0], [0.5], [2.0]], np.float32)
+    out = flow.sample_sweep(thetas, 100, key=jax.random.key(0))
+    assert out.shape == (3, 100, 5)
+    assert np.all(np.isfinite(np.asarray(out)))
+    with pytest.raises(ValueError, match="thetas must have shape"):
+        flow.sample_sweep(np.zeros((3, 2), np.float32), 10)
+
+
+def test_sample_sweep_sharded(fixture_data):
+    from densityflows_tpu.parallel.mesh import make_mesh
+
+    x, theta = fixture_data
+    flow, _ = _readme_flow(x, theta)
+    mesh = make_mesh()
+    thetas = np.array([[-1.0], [2.0]], np.float32)
+    out = flow.sample_sweep(thetas, 64, key=jax.random.key(1), mesh=mesh)
+    assert out.shape == (2, 64, 5)
