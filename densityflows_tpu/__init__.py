@@ -44,6 +44,12 @@ from .models.normalization import (
     PermutationLayer,
     permutation_layer,
 )
+from .models.glow import (
+    ActNormLayer,
+    actnorm_layer,
+    InvertibleLinearLayer,
+    invertible_linear_layer,
+)
 from .ops.coupling import (
     nice_backward,
     nice_forward,
@@ -94,6 +100,8 @@ __all__ = [
     "NormalizationLayer", "normalization_layer",
     "PermutationLayer", "permutation_layer",
     "MAFLayer", "maf_layer", "IAFLayer", "iaf_layer",
+    "ActNormLayer", "actnorm_layer",
+    "InvertibleLinearLayer", "invertible_linear_layer",
     "CouplingBlock", "coupling_block",
     "FlowChain", "flow_chain", "concatenate",
     "StandardNormal", "DiagNormal",

@@ -38,6 +38,7 @@ from ..models.layers import (
 )
 from ..models.normalization import NormalizationLayer, PermutationLayer
 from ..models.autoregressive import IAFLayer, MAFLayer
+from ..models.glow import ActNormLayer, InvertibleLinearLayer
 from ..ops.made import MaskedMLP
 from ..ops.mlp import MLP
 
@@ -132,6 +133,20 @@ def element_spec(el) -> dict:
         }
     if isinstance(el, PermutationLayer):
         return {"type": "PermutationLayer", "perm": list(el.perm)}
+    if isinstance(el, ActNormLayer):
+        return {
+            "type": "ActNormLayer",
+            "d": int(el.bias.shape[0]),
+            "dtype": str(el.bias.dtype),
+        }
+    if isinstance(el, InvertibleLinearLayer):
+        return {
+            "type": "InvertibleLinearLayer",
+            "d": el.d,
+            "dtype": str(el.log_s.dtype),
+            "perm": list(el.perm),
+            "sign": [float(s) for s in el.sign],
+        }
     if isinstance(el, CouplingBlock):
         return {
             "type": "CouplingBlock",
@@ -200,6 +215,18 @@ def element_from_spec(spec: dict):
         return NormalizationLayer(z, z + 1, spec["alpha"], spec["beta"])
     if t == "PermutationLayer":
         return PermutationLayer(tuple(spec["perm"]))
+    if t == "ActNormLayer":
+        dtype = jnp.dtype(spec["dtype"])
+        z = jnp.zeros((spec["d"],), dtype)
+        return ActNormLayer(z, z)
+    if t == "InvertibleLinearLayer":
+        dtype = jnp.dtype(spec["dtype"])
+        d = spec["d"]
+        return InvertibleLinearLayer(
+            jnp.zeros((d, d), dtype), jnp.zeros((d, d), dtype),
+            jnp.zeros((d,), dtype), tuple(spec["perm"]),
+            tuple(spec["sign"]),
+        )
     if t == "CouplingBlock":
         return CouplingBlock(
             element_from_spec(spec["layer_1"]), element_from_spec(spec["layer_2"])
