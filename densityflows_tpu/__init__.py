@@ -58,6 +58,7 @@ from .ops.coupling import (
 )
 from .ops.mlp import MLP, apply_mlp, init_mlp
 from .train import train, evaluate, make_train_step
+from .data_stream import StreamingLoader, train_streaming
 from .inference import (
     SMCState,
     effective_sample_size,
@@ -108,6 +109,7 @@ __all__ = [
     "Flow", "nll_loss",
     # training
     "train", "evaluate", "make_train_step",
+    "StreamingLoader", "train_streaming",
     # inference engine
     "sample_with_rejection", "weighted_nll_loss", "make_weighted_train_step",
     "fit_posterior", "fit_variational",
