@@ -29,7 +29,9 @@ from .data import (
 from .models.blocks import CouplingBlock, coupling_block
 from .models.chains import FlowChain, concatenate, flow_chain
 from .models.autoregressive import MAFLayer, maf_layer, IAFLayer, iaf_layer
-from .models.distributions import DiagNormal, StandardNormal
+from .models.distributions import (
+    BoxUniform, DiagNormal, GaussianMixture, StandardNormal,
+)
 from .models.flow import Flow, nll_loss
 from .models.layers import (
     NICECouplingLayer,
@@ -43,6 +45,8 @@ from .models.normalization import (
     normalization_layer,
     PermutationLayer,
     permutation_layer,
+    LogitLayer,
+    logit_layer,
 )
 from .models.glow import (
     ActNormLayer,
@@ -105,7 +109,8 @@ __all__ = [
     "InvertibleLinearLayer", "invertible_linear_layer",
     "CouplingBlock", "coupling_block",
     "FlowChain", "flow_chain", "concatenate",
-    "StandardNormal", "DiagNormal",
+    "StandardNormal", "DiagNormal", "GaussianMixture", "BoxUniform",
+    "LogitLayer", "logit_layer",
     "Flow", "nll_loss",
     # training
     "train", "evaluate", "make_train_step",

@@ -25,6 +25,7 @@ import numpy as np
 __all__ = [
     "NormalizationLayer", "normalization_layer",
     "PermutationLayer", "permutation_layer",
+    "LogitLayer", "logit_layer",
 ]
 
 
@@ -120,6 +121,76 @@ def permutation_layer(perm_or_d, *, key=None) -> PermutationLayer:
         if sorted(perm) != list(range(len(perm))):
             raise ValueError(f"{perm} is not a permutation of range({len(perm)})")
     return PermutationLayer(perm)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LogitLayer:
+    """Smooth bijection between the box (lo, hi)^d and all of ℝ^d.
+
+    No reference counterpart — the reference clamps bounded data with the
+    affine ``NormalizationLayer`` only, which leaves the support edges
+    reachable and the density discontinuous there. The logit transform is
+    the standard fix for data with hard bounds (images, simulator outputs
+    on a box): place it LAST in the chain so every preceding layer works
+    on an unconstrained ℝ^d.
+
+    ``forward`` (latent → data): x = lo + (hi − lo)·σ(z);
+    ``inverse`` (data → latent): z = logit((x − lo)/(hi − lo)), with the
+    argument clamped to [eps, 1−eps] for edge samples. ldj computed via
+    log-sigmoid for stability (no exp overflow anywhere).
+    """
+
+    lo: jax.Array  # (d,)
+    hi: jax.Array  # (d,)
+    eps: float = dataclasses.field(metadata=dict(static=True), default=1e-6)
+
+    def _logdet_fwd(self, z):
+        # d x/d z = (hi-lo)·σ(z)(1-σ(z));  log σ(z) = -softplus(-z)
+        z32 = z.astype(jnp.float32)
+        width = jnp.log((self.hi - self.lo).astype(jnp.float32))
+        per_dim = -jax.nn.softplus(-z32) - jax.nn.softplus(z32) + width
+        return jnp.sum(per_dim, axis=-1)
+
+    def forward(self, z, theta=None):
+        x = self.lo + (self.hi - self.lo) * jax.nn.sigmoid(z)
+        return x, self._logdet_fwd(z)
+
+    def inverse(self, x, theta=None):
+        u = (x - self.lo) / (self.hi - self.lo)
+        u = jnp.clip(u, self.eps, 1.0 - self.eps)
+        z = jnp.log(u) - jnp.log1p(-u)
+        return z, -self._logdet_fwd(z)
+
+    def forward_(self, z, theta=None):
+        return self.lo + (self.hi - self.lo) * jax.nn.sigmoid(z)
+
+    def summarize(self) -> str:
+        return f"Logit Layer       | d = {self.lo.shape[0]}"
+
+
+def logit_layer(x, *, margin: float = 0.0, eps: float = 1e-6) -> LogitLayer:
+    """Build from data bounds (min/max over all batch dims, widened by
+    ``margin``·range on each side so observed extremes sit strictly
+    inside the open box). Accepts an array ``(batch..., d)``, a
+    :class:`~densityflows_tpu.data.DataArrays`, or an ``(lo, hi)`` tuple
+    of per-dim bounds."""
+    from ..data import DataArrays
+
+    if isinstance(x, tuple) and len(x) == 2:
+        lo = np.asarray(x[0], np.float32)
+        hi = np.asarray(x[1], np.float32)
+    else:
+        if isinstance(x, DataArrays):
+            x = x.x
+        x = np.asarray(x, np.float32)
+        flat = x.reshape(-1, x.shape[-1])
+        lo, hi = flat.min(axis=0), flat.max(axis=0)
+        pad = margin * (hi - lo)
+        lo, hi = lo - pad, hi + pad
+    if np.any(hi <= lo):
+        raise ValueError("logit_layer needs hi > lo in every dim")
+    return LogitLayer(jnp.asarray(lo), jnp.asarray(hi), float(eps))
 
 
 def normalization_layer(x, alpha: float = 0.0, beta: float = 1.0) -> NormalizationLayer:

@@ -29,14 +29,18 @@ from ..axes import CouplingAxes
 from ..data import MetaData
 from ..models.blocks import CouplingBlock
 from ..models.chains import FlowChain
-from ..models.distributions import DiagNormal, StandardNormal
+from ..models.distributions import (
+    BoxUniform, DiagNormal, GaussianMixture, StandardNormal,
+)
 from ..models.flow import Flow
 from ..models.layers import (
     NICECouplingLayer,
     RNVPCouplingLayer,
     RQSCouplingLayer,
 )
-from ..models.normalization import NormalizationLayer, PermutationLayer
+from ..models.normalization import (
+    LogitLayer, NormalizationLayer, PermutationLayer,
+)
 from ..models.autoregressive import IAFLayer, MAFLayer
 from ..models.glow import ActNormLayer, InvertibleLinearLayer
 from ..ops.made import MaskedMLP
@@ -158,6 +162,13 @@ def element_spec(el) -> dict:
             "type": "FlowChain",
             "layers": [element_spec(l) for l in el.layers],
         }
+    if isinstance(el, LogitLayer):
+        return {
+            "type": "LogitLayer",
+            "d": int(el.lo.shape[0]),
+            "dtype": str(el.lo.dtype),
+            "eps": float(el.eps),
+        }
     if isinstance(el, StandardNormal):
         return {"type": "StandardNormal", "d": el.d}
     if isinstance(el, DiagNormal):
@@ -165,6 +176,19 @@ def element_spec(el) -> dict:
             "type": "DiagNormal",
             "d": int(el.mean.shape[-1]),
             "dtype": str(el.mean.dtype),
+        }
+    if isinstance(el, GaussianMixture):
+        return {
+            "type": "GaussianMixture",
+            "k": el.k,
+            "d": el.d,
+            "dtype": str(el.means.dtype),
+        }
+    if isinstance(el, BoxUniform):
+        return {
+            "type": "BoxUniform",
+            "d": el.d,
+            "dtype": str(el.lo.dtype),
         }
     raise TypeError(f"don't know how to checkpoint {type(el).__name__}")
 
@@ -233,11 +257,26 @@ def element_from_spec(spec: dict):
         )
     if t == "FlowChain":
         return FlowChain(tuple(element_from_spec(s) for s in spec["layers"]))
+    if t == "LogitLayer":
+        dtype = jnp.dtype(spec["dtype"])
+        z = jnp.zeros((spec["d"],), dtype)
+        return LogitLayer(z, z + 1, spec["eps"])
     if t == "StandardNormal":
         return StandardNormal(spec["d"])
     if t == "DiagNormal":
         dtype = jnp.dtype(spec["dtype"])
         return DiagNormal(jnp.zeros((spec["d"],), dtype), jnp.ones((spec["d"],), dtype))
+    if t == "GaussianMixture":
+        dtype = jnp.dtype(spec["dtype"])
+        return GaussianMixture(
+            jnp.zeros((spec["k"], spec["d"]), dtype),
+            jnp.ones((spec["k"], spec["d"]), dtype),
+            jnp.zeros((spec["k"],), dtype),
+        )
+    if t == "BoxUniform":
+        dtype = jnp.dtype(spec["dtype"])
+        z = jnp.zeros((spec["d"],), dtype)
+        return BoxUniform(z, z + 1)
     raise ValueError(f"unknown element type in checkpoint: {t}")
 
 
