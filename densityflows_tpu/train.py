@@ -230,6 +230,64 @@ def _train_with_checkpoints(
     return opt_state
 
 
+def _train_early_stopping(
+    flow, data, optimizer, opt_state, *, epochs, batchsize, shuffle,
+    verbose, key, mesh, debug, patience, min_delta, check_every,
+    restore_best, metrics_log,
+):
+    """Chunked fused-program training with validation-based early stopping.
+
+    Every chunk is the same ``check_every``-epoch fused program (one jit
+    cache entry); between chunks the host inspects the validation-loss
+    tail. Stops once the best valid NLL hasn't improved by ``min_delta``
+    for ``patience`` consecutive epochs; with ``restore_best`` the model
+    is rolled back to the best-epoch snapshot (device-copied, because the
+    next chunk donates the live buffers).
+    """
+    if optimizer is None:
+        optimizer = _default_adam()
+    if key is None:
+        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+
+    best = float("inf")
+    best_model = None
+    best_epoch = 0
+    done = 0
+    while done < epochs:
+        chunk = min(check_every, epochs - done)
+        chunk_key = jax.random.fold_in(key, done)
+        opt_state = train(
+            flow, data, optimizer, opt_state,
+            epochs=chunk, batchsize=batchsize, shuffle=shuffle,
+            verbose=verbose, key=chunk_key, mesh=mesh, debug=debug,
+            metrics_log=metrics_log,
+        )
+        done += chunk
+        tail = flow.valid_loss[-chunk:]
+        improved = min(tail) < best - min_delta
+        if improved:
+            i_rel = int(np.argmin(tail))
+            best = tail[i_rel]
+            best_epoch = done - chunk + i_rel + 1
+            # snapshot at chunk end (close enough to the best epoch for
+            # check_every ≤ patience); device-copy so the next chunk's
+            # buffer donation can't delete it
+            if restore_best:
+                best_model = jax.tree_util.tree_map(jnp.copy, flow.model)
+        no_improve_for = done - best_epoch
+        if no_improve_for >= patience:
+            if verbose:
+                print(
+                    f"[early stop at epoch {done}: no valid improvement "
+                    f"> {min_delta} for {no_improve_for} epochs; best "
+                    f"{best:.6f} @ epoch {best_epoch}]"
+                )
+            break
+    if restore_best and best_model is not None:
+        flow.model = best_model
+    return opt_state
+
+
 def evaluate(flow: Flow, data: DataArrays, split: str = "testing") -> float:
     """Full-split NLL on ``'training'``/``'validation'``/``'testing'``.
 
@@ -296,6 +354,10 @@ def train(
     checkpoint_every: int = 10,
     resume: bool = False,
     metrics_log: str | None = None,
+    early_stopping_patience: int | None = None,
+    early_stopping_min_delta: float = 0.0,
+    early_stopping_check_every: int | None = None,
+    restore_best: bool = True,
 ):
     """Train the flow by NLL (reference ``train!``, src/Flows.jl:380-445).
 
@@ -310,9 +372,31 @@ def train(
     state + histories) written between chunks; ``resume=True`` restarts
     from the last checkpoint, skipping already-completed epochs.
 
+    Early stopping (no reference counterpart): set
+    ``early_stopping_patience=p`` to stop once the validation NLL hasn't
+    improved by ``early_stopping_min_delta`` for ``p`` epochs (checked
+    every ``early_stopping_check_every`` epochs, default ``min(p, 10)``);
+    ``restore_best`` rolls the model back to the best-validation snapshot.
+
     Returns ``opt_state`` so training can be continued exactly (the
     reference loses optimizer state across save/load; we keep it).
     """
+    if early_stopping_patience is not None:
+        if checkpoint_dir is not None:
+            raise ValueError(
+                "early stopping and checkpoint_dir are separate chunked "
+                "drivers — use one or the other"
+            )
+        return _train_early_stopping(
+            flow, data, optimizer, opt_state,
+            epochs=epochs, batchsize=batchsize, shuffle=shuffle,
+            verbose=verbose, key=key, mesh=mesh, debug=debug,
+            patience=early_stopping_patience,
+            min_delta=early_stopping_min_delta,
+            check_every=(early_stopping_check_every
+                         or min(early_stopping_patience, 10)),
+            restore_best=restore_best, metrics_log=metrics_log,
+        )
     if checkpoint_dir is not None:
         return _train_with_checkpoints(
             flow, data, optimizer, opt_state,
