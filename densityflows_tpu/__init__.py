@@ -68,9 +68,12 @@ from .inference import (
     effective_sample_size,
     fit_posterior,
     fit_variational,
+    flow_mcmc,
     make_weighted_train_step,
     run_smc,
     sample_with_rejection,
+    sbc_ranks,
+    sbc_uniformity,
     smc_step,
     systematic_resample,
     weighted_nll_loss,
@@ -120,6 +123,7 @@ __all__ = [
     "fit_posterior", "fit_variational",
     "effective_sample_size", "systematic_resample",
     "SMCState", "smc_step", "run_smc",
+    "flow_mcmc", "sbc_ranks", "sbc_uniformity",
     "summarize",
     # persistence
     "save_flow", "load_flow", "save_element", "load_element",

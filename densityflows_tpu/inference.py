@@ -51,6 +51,9 @@ __all__ = [
     "SMCState",
     "smc_step",
     "run_smc",
+    "flow_mcmc",
+    "sbc_ranks",
+    "sbc_uniformity",
 ]
 
 
@@ -477,3 +480,153 @@ def run_smc(
     return state.particles, state.log_weights, {
         "ess": ess_hist, "mh_accept": acc_hist,
     }
+
+
+# -- flow-accelerated MCMC --------------------------------------------------
+
+
+def flow_mcmc(
+    flow: Flow,
+    log_density: Callable[[jax.Array], jax.Array],
+    *,
+    theta=None,
+    n_chains: int = 256,
+    n_steps: int = 1000,
+    burn_in: int = 100,
+    method: str = "independence",
+    step_size: float = 0.2,
+    key=None,
+    mesh=None,
+):
+    """MCMC targeting exp(log_density) with the trained flow as transport.
+
+    Two standard flow-accelerated kernels, both as ONE jitted
+    ``lax.scan`` over vectorized chains (the chain axis shards over the
+    mesh ``data`` axis like any particle axis):
+
+    - ``method='independence'``: independence Metropolis-Hastings —
+      proposals are fresh flow samples, accepted with
+      min(1, p(x')q(x)/(p(x)q(x'))). Exact even when the flow fit is
+      imperfect; acceptance rate measures fit quality.
+    - ``method='neutra'``: NeuTra-style preconditioning (Hoffman et al.
+      2019) — random-walk MH in the flow's LATENT space on the pulled-
+      back target log p(f(z)) + ldj_f(z), where the geometry is near-
+      isotropic if the flow fit the target.
+
+    Returns ``(samples, diagnostics)`` with samples of shape
+    ``(n_steps - burn_in, n_chains, d)`` and diagnostics carrying the
+    per-step mean acceptance. No reference counterpart (its only sampler
+    is serial rejection, src/Flows.jl:196-229).
+    """
+    if method not in ("independence", "neutra"):
+        raise ValueError("method must be 'independence' or 'neutra'")
+    if not 0 <= burn_in < n_steps:
+        raise ValueError(f"need 0 <= burn_in < n_steps, got {burn_in}/{n_steps}")
+    if key is None:
+        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+    theta_n = flow.prepare_theta(theta, (n_chains,))
+    model, base = flow.model, flow.base
+
+    chain_sharding = None
+    if mesh is not None:
+        from .parallel.mesh import data_sharding
+
+        chain_sharding = data_sharding(mesh, 2)
+
+    def constrain(a):
+        if chain_sharding is not None:
+            return jax.lax.with_sharding_constraint(a, chain_sharding)
+        return a
+
+    @jax.jit
+    def program(model, theta_n, key):
+        k_init, k_run = jax.random.split(key)
+        z0 = constrain(base.sample(k_init, (n_chains,)))
+        x0, ldj0 = model.forward(z0, theta_n)
+
+        if method == "independence":
+            # state: x, log p̃(x), log q(x)
+            state0 = (x0, log_density(x0), base.log_prob(z0) - ldj0)
+
+            def body(state, k):
+                x, lp, lq = state
+                k1, k2 = jax.random.split(k)
+                z_p = constrain(base.sample(k1, (n_chains,)))
+                x_p, ldj_p = model.forward(z_p, theta_n)
+                lp_p = log_density(x_p)
+                lq_p = base.log_prob(z_p) - ldj_p
+                log_alpha = (lp_p - lq_p) - (lp - lq)
+                accept = jnp.log(jax.random.uniform(k2, lp.shape)) < log_alpha
+                x = jnp.where(accept[..., None], x_p, x)
+                lp = jnp.where(accept, lp_p, lp)
+                lq = jnp.where(accept, lq_p, lq)
+                return (x, lp, lq), (x, jnp.mean(accept.astype(jnp.float32)))
+
+        else:  # neutra: RW on the pulled-back target in latent space
+
+            def pullback(z):
+                x, ldj = model.forward(z, theta_n)
+                return x, log_density(x) + ldj
+
+            x0p, lp0 = pullback(z0)
+            state0 = (z0, x0p, lp0)
+
+            def body(state, k):
+                z, x, lp = state
+                k1, k2 = jax.random.split(k)
+                z_p = z + step_size * jax.random.normal(k1, z.shape, z.dtype)
+                x_p, lp_p = pullback(z_p)
+                accept = jnp.log(jax.random.uniform(k2, lp.shape)) < lp_p - lp
+                z = jnp.where(accept[..., None], z_p, z)
+                x = jnp.where(accept[..., None], x_p, x)
+                lp = jnp.where(accept, lp_p, lp)
+                return (z, x, lp), (x, jnp.mean(accept.astype(jnp.float32)))
+
+        _, (xs, acc) = jax.lax.scan(body, state0, jax.random.split(k_run, n_steps))
+        return xs, acc
+
+    xs, acc = program(model, theta_n, key)
+    return xs[burn_in:], {"accept_rate": acc, "burn_in": burn_in}
+
+
+# -- simulation-based calibration (SBC) -------------------------------------
+
+
+def sbc_ranks(
+    flow: Flow,
+    theta_true,
+    x_obs,
+    *,
+    n_draws: int = 256,
+    key=None,
+):
+    """Simulation-based-calibration ranks for an amortized posterior flow.
+
+    For each simulation i (θᵢ ~ prior, xᵢ ~ sim(θᵢ)), draws ``n_draws``
+    posterior samples from q(θ | xᵢ) (one batched sampling program over
+    all simulations at once) and ranks the TRUE θᵢ among them per
+    parameter. If the posterior is calibrated the ranks are uniform on
+    {0, …, n_draws} (Talts et al. 2018). Returns an (n_sims, d) integer
+    array of ranks. Pair with :func:`sbc_uniformity` for a scalar
+    diagnostic.
+    """
+    if key is None:
+        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+    theta_true = jnp.asarray(theta_true, jnp.float32)
+    x_obs = np.asarray(x_obs, np.float32)
+    n_sims = x_obs.shape[0]
+    cond = np.broadcast_to(x_obs, (n_draws,) + x_obs.shape)
+    draws = flow.sample((n_draws, n_sims), cond, key=key)
+    return jnp.sum(draws < theta_true[None], axis=0)
+
+
+def sbc_uniformity(ranks, n_draws: int):
+    """Max-over-params Kolmogorov–Smirnov distance of the SBC ranks from
+    uniform — 0 is perfectly calibrated; > ~1.6/√n_sims flags
+    miscalibration at the 1% level."""
+    ranks = np.asarray(ranks, np.float64)
+    n_sims, d = ranks.shape
+    u = (ranks + 0.5) / (n_draws + 1)
+    grid = np.sort(u, axis=0)
+    emp = np.arange(1, n_sims + 1)[:, None] / n_sims
+    return float(np.max(np.abs(grid - emp)))
