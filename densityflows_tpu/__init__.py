@@ -63,6 +63,7 @@ from .ops.coupling import (
 from .ops.mlp import MLP, apply_mlp, init_mlp
 from .train import train, evaluate, make_train_step
 from .data_stream import StreamingLoader, train_streaming
+from .ensemble import EnsembleFlow, train_ensemble, stack_models
 from .inference import (
     SMCState,
     effective_sample_size,
@@ -118,6 +119,7 @@ __all__ = [
     # training
     "train", "evaluate", "make_train_step",
     "StreamingLoader", "train_streaming",
+    "EnsembleFlow", "train_ensemble", "stack_models",
     # inference engine
     "sample_with_rejection", "weighted_nll_loss", "make_weighted_train_step",
     "fit_posterior", "fit_variational",

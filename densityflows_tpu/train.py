@@ -109,6 +109,7 @@ def make_train_program(
     n_train: int | None = None,
     n_valid: int | None = None,
     batch_sharding=None,
+    pure: bool = False,
 ):
     """Build (and cache) the fused multi-epoch training program.
 
@@ -124,12 +125,11 @@ def make_train_program(
     src/Flows.jl:419-437).
     """
     cache_key = (id(optimizer), batchsize, epochs, shuffle, n_train, n_valid,
-                 batch_sharding)
+                 batch_sharding, pure)
     if cache_key in _PROGRAM_CACHE:
         return _PROGRAM_CACHE[cache_key]
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_program(model, opt_state, base, x, theta, x_valid, theta_valid, key):
+    def train_program_pure(model, opt_state, base, x, theta, x_valid, theta_valid, key):
         n = x.shape[0] if n_train is None else n_train
         nv = x_valid.shape[0] if n_valid is None else n_valid
         n_batches = -(-n // batchsize)
@@ -175,6 +175,12 @@ def make_train_program(
         )
         return model, opt_state, tls, vls
 
+    if pure:
+        # unjitted body, for callers that wrap the program in their own
+        # transform (e.g. ensemble.py vmaps it over a member axis)
+        train_program = train_program_pure
+    else:
+        train_program = jax.jit(train_program_pure, donate_argnums=(0, 1))
     _PROGRAM_CACHE[cache_key] = train_program
     return train_program
 
