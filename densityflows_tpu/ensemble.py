@@ -37,8 +37,11 @@ def stack_models(models):
     treedefs = {str(jax.tree_util.tree_structure(m)) for m in models}
     if len(treedefs) != 1:
         raise ValueError(
-            "ensemble members must share one pytree structure "
-            "(same factory, different keys)"
+            "ensemble members must share one pytree structure (same "
+            "factory, different keys). Note layers whose STATIC aux data "
+            "is key-dependent (e.g. invertible_linear_layer's LU pivots, "
+            "random permutation_layer) must be built with one shared key "
+            "across members — vary only the conditioner keys."
         )
     return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *models)
 

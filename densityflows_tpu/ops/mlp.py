@@ -111,7 +111,9 @@ def apply_mlp(mlp: MLP, x: jax.Array) -> jax.Array:
     n = len(mlp.weights)
     h = x
     for i, (w, b) in enumerate(zip(mlp.weights, mlp.biases)):
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        # operands in the weights' dtype (bf16 weights → native-bf16 MXU
+        # pass), accumulation in fp32
+        h = jnp.dot(h.astype(w.dtype), w, preferred_element_type=jnp.float32)
         if b.shape[0]:
             h = h + b
         if i < n - 1:  # final layer is linear (reference src/Layers.jl:41)

@@ -54,6 +54,15 @@ __all__ = [
 DEFAULT_TB = 512
 
 
+def set_tile_rows(tb: int) -> None:
+    """Override the batch-tile row count (read at trace time; call
+    ``jax.clear_caches()`` to retrace already-compiled programs)."""
+    global DEFAULT_TB
+    if tb < 8 or tb % 8:
+        raise ValueError("tile rows must be a multiple of 8 and >= 8")
+    DEFAULT_TB = int(tb)
+
+
 def pallas_available() -> bool:
     """True when the default backend can run these kernels compiled."""
     return jax.default_backend() == "tpu"
@@ -123,14 +132,19 @@ def _act_grad(name, u):
 
 
 def _mlp_fwd_in_kernel(h, w_refs, b_refs, act):
-    """Run one MLP chain on a VMEM tile; returns the (unactivated) output.
-    Final layer is linear (reference src/Layers.jl:41)."""
+    """Run one MLP chain on a VMEM tile; returns the (unactivated) output
+    in fp32. Final layer is linear (reference src/Layers.jl:41).
+
+    Activations are fed to each matmul in the WEIGHTS' dtype — with bf16
+    weights every dot is a native-bf16 MXU pass (f32 accumulation via
+    ``preferred_element_type``); with f32 weights nothing changes."""
     a = h
     n = len(w_refs)
     for i in range(n):
-        u = jnp.dot(a, w_refs[i][:], preferred_element_type=jnp.float32)
+        w = w_refs[i][:]
+        u = jnp.dot(a.astype(w.dtype), w, preferred_element_type=jnp.float32)
         if b_refs[i] is not None:
-            u = u + b_refs[i][:]
+            u = u + b_refs[i][:].astype(jnp.float32)
         a = _act_fwd(act, u) if i < n - 1 else u
     return a
 
@@ -142,9 +156,10 @@ def _mlp_fwd_keep(h, w_refs, b_refs, act):
     pre, acts = [], [a]
     n = len(w_refs)
     for i in range(n):
-        u = jnp.dot(a, w_refs[i][:], preferred_element_type=jnp.float32)
+        w = w_refs[i][:]
+        u = jnp.dot(a.astype(w.dtype), w, preferred_element_type=jnp.float32)
         if b_refs[i] is not None:
-            u = u + b_refs[i][:]
+            u = u + b_refs[i][:].astype(jnp.float32)
         pre.append(u)
         a = _act_fwd(act, u) if i < n - 1 else u
         if i < n - 1:
@@ -159,9 +174,10 @@ def _mlp_bwd_in_kernel(delta, pre, acts, w_refs, act, dw_refs, db_refs, dh_acc,
     returns the cotangent w.r.t. the chain input added to ``dh_acc``."""
     n = len(w_refs)
     for i in range(n - 1, -1, -1):
-        # dW_i = acts[i]^T @ delta, accumulated across batch tiles
+        cdt = w_refs[i].dtype  # compute dtype follows the weights
+        # dW_i = acts[i]^T @ delta, accumulated across batch tiles (f32)
         dw = jax.lax.dot_general(
-            acts[i], delta,
+            acts[i].astype(cdt), delta.astype(cdt),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -186,7 +202,7 @@ def _mlp_bwd_in_kernel(delta, pre, acts, w_refs, act, dw_refs, db_refs, dh_acc,
                 db_ref[:] = db_ref[:] + db
 
         delta = jax.lax.dot_general(
-            delta, w_refs[i][:],
+            delta.astype(cdt), w_refs[i][:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
