@@ -57,39 +57,94 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class FlowConfig:
-    """End-to-end experiment config: model + data + training."""
+    """End-to-end experiment config: model + data + training.
+
+    ``family`` selects the block type: ``'rnvp'`` (default, affine
+    couplings), ``'nice'`` (additive), ``'rqs'`` (rational-quadratic
+    spline couplings, ``n_bins`` knots), or ``'maf'`` (masked
+    autoregressive blocks with a permutation between them).
+    ``mix='linear'`` inserts a trainable LU-parameterized invertible
+    linear between blocks; ``'permute'`` a fixed reversal;
+    ``'none'`` nothing. ``tail`` selects the chain tail:
+    ``'normalization'`` (range pin, the reference default),
+    ``'actnorm'`` (trainable, data-initialized), ``'logit'`` (for
+    hard-bounded data), or ``'none'``.
+    """
 
     net: NetConfig = NetConfig()
     data: DataConfig = DataConfig()
     train: TrainConfig = TrainConfig()
     n_blocks: int = 3
+    family: str = "rnvp"
+    mix: str = "none"
+    tail: str = "normalization"
+    n_bins: int = 8
     norm_alpha: float = -1.0
     norm_beta: float = 1.0
 
 
 def build_flow(config: FlowConfig, data, *, key=None):
-    """Construct the standard model from a config: ``n_blocks`` coupling
-    blocks (each transforming every dim once) + a trailing
-    NormalizationLayer pinned to the data range.
+    """Construct the model from a config: ``n_blocks`` blocks of the
+    selected ``family`` (each transforming every dim once), optional
+    mixing layers between blocks, and the configured tail layer.
     """
     import jax
 
     from ..models.blocks import coupling_block
     from ..models.chains import flow_chain
     from ..models.flow import Flow
-    from ..models.normalization import normalization_layer
+    from ..models.glow import actnorm_layer, invertible_linear_layer
+    from ..models.layers import (
+        NICECouplingLayer, RNVPCouplingLayer, RQSCouplingLayer,
+    )
+    from ..models.autoregressive import maf_layer
+    from ..models.normalization import (
+        logit_layer, normalization_layer, permutation_layer,
+    )
 
+    if config.family not in ("rnvp", "nice", "rqs", "maf"):
+        raise ValueError(f"unknown family {config.family!r}")
+    if config.mix not in ("none", "linear", "permute"):
+        raise ValueError(f"unknown mix {config.mix!r}")
+    if config.tail not in ("normalization", "actnorm", "logit", "none"):
+        raise ValueError(f"unknown tail {config.tail!r}")
     if key is None:
         key = jax.random.key(0)
     keys = jax.random.split(key, config.n_blocks)
-    blocks = [
-        coupling_block(data, None, key=k, **config.net.layer_kwargs())
-        for k in keys
-    ]
-    chain = flow_chain(
-        *blocks,
-        normalization_layer(data.x, config.norm_alpha, config.norm_beta),
-    )
+    d, n = data.num_dimensions, data.num_conditions
+
+    blocks = []
+    for i, k in enumerate(keys):
+        if config.family == "maf":
+            blocks.append(
+                maf_layer(d, n=n, key=k,
+                          hidden_dim=config.net.hidden_dim_t,
+                          activation=config.net.activation_t)
+            )
+        else:
+            kind = {"rnvp": RNVPCouplingLayer, "nice": NICECouplingLayer,
+                    "rqs": RQSCouplingLayer}[config.family]
+            blocks.append(
+                coupling_block(data, None, key=k, kind=kind,
+                               n_bins=config.n_bins,
+                               **config.net.layer_kwargs())
+            )
+        last = i == config.n_blocks - 1
+        if config.family == "maf" and not last:
+            blocks.append(permutation_layer(d))
+        elif config.mix == "linear" and not last:
+            blocks.append(invertible_linear_layer(d, key=jax.random.fold_in(k, 1)))
+        elif config.mix == "permute" and not last:
+            blocks.append(permutation_layer(d))
+
+    tail = {
+        "normalization": lambda: [normalization_layer(
+            data.x, config.norm_alpha, config.norm_beta)],
+        "actnorm": lambda: [actnorm_layer(data.x)],
+        "logit": lambda: [logit_layer(data.x, margin=0.01)],
+        "none": lambda: [],
+    }[config.tail]()
+    chain = flow_chain(*blocks, *tail)
     return Flow(chain, data)
 
 
