@@ -54,6 +54,7 @@ from .models.glow import (
     InvertibleLinearLayer,
     invertible_linear_layer,
 )
+from .models.embedding import EmbeddedChain, embed_conditions
 from .ops.coupling import (
     nice_backward,
     nice_forward,
@@ -111,6 +112,7 @@ __all__ = [
     "MAFLayer", "maf_layer", "IAFLayer", "iaf_layer",
     "ActNormLayer", "actnorm_layer",
     "InvertibleLinearLayer", "invertible_linear_layer",
+    "EmbeddedChain", "embed_conditions",
     "CouplingBlock", "coupling_block",
     "FlowChain", "flow_chain", "concatenate",
     "StandardNormal", "DiagNormal", "GaussianMixture", "BoxUniform",

@@ -135,14 +135,15 @@ def _mlp_fwd_in_kernel(h, w_refs, b_refs, act):
     """Run one MLP chain on a VMEM tile; returns the (unactivated) output
     in fp32. Final layer is linear (reference src/Layers.jl:41).
 
-    Activations are fed to each matmul in the WEIGHTS' dtype — with bf16
-    weights every dot is a native-bf16 MXU pass (f32 accumulation via
-    ``preferred_element_type``); with f32 weights nothing changes."""
+    Compute is pinned to fp32 even for bf16-stored weights (upcast on
+    load): measured on v5e, bf16 MXU passes at these conditioner sizes
+    (hidden ≤ 512) LOSE ~2x to Mosaic's bf16 relayout overhead — bf16
+    here buys storage, not speed."""
     a = h
     n = len(w_refs)
     for i in range(n):
-        w = w_refs[i][:]
-        u = jnp.dot(a.astype(w.dtype), w, preferred_element_type=jnp.float32)
+        u = jnp.dot(a, w_refs[i][:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
         if b_refs[i] is not None:
             u = u + b_refs[i][:].astype(jnp.float32)
         a = _act_fwd(act, u) if i < n - 1 else u
@@ -156,8 +157,8 @@ def _mlp_fwd_keep(h, w_refs, b_refs, act):
     pre, acts = [], [a]
     n = len(w_refs)
     for i in range(n):
-        w = w_refs[i][:]
-        u = jnp.dot(a.astype(w.dtype), w, preferred_element_type=jnp.float32)
+        u = jnp.dot(a, w_refs[i][:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
         if b_refs[i] is not None:
             u = u + b_refs[i][:].astype(jnp.float32)
         pre.append(u)
@@ -174,10 +175,10 @@ def _mlp_bwd_in_kernel(delta, pre, acts, w_refs, act, dw_refs, db_refs, dh_acc,
     returns the cotangent w.r.t. the chain input added to ``dh_acc``."""
     n = len(w_refs)
     for i in range(n - 1, -1, -1):
-        cdt = w_refs[i].dtype  # compute dtype follows the weights
-        # dW_i = acts[i]^T @ delta, accumulated across batch tiles (f32)
+        # dW_i = acts[i]^T @ delta, accumulated across batch tiles (f32
+        # compute — see _mlp_fwd_in_kernel on why not bf16)
         dw = jax.lax.dot_general(
-            acts[i].astype(cdt), delta.astype(cdt),
+            acts[i], delta,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -202,7 +203,7 @@ def _mlp_bwd_in_kernel(delta, pre, acts, w_refs, act, dw_refs, db_refs, dh_acc,
                 db_ref[:] = db_ref[:] + db
 
         delta = jax.lax.dot_general(
-            delta.astype(cdt), w_refs[i][:],
+            delta, w_refs[i][:].astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -43,6 +43,7 @@ from ..models.normalization import (
 )
 from ..models.autoregressive import IAFLayer, MAFLayer
 from ..models.glow import ActNormLayer, InvertibleLinearLayer
+from ..models.embedding import EmbeddedChain
 from ..ops.made import MaskedMLP
 from ..ops.mlp import MLP
 
@@ -162,6 +163,12 @@ def element_spec(el) -> dict:
             "type": "FlowChain",
             "layers": [element_spec(l) for l in el.layers],
         }
+    if isinstance(el, EmbeddedChain):
+        return {
+            "type": "EmbeddedChain",
+            "embed": element_spec(el.embed),
+            "chain": element_spec(el.chain),
+        }
     if isinstance(el, LogitLayer):
         return {
             "type": "LogitLayer",
@@ -257,6 +264,10 @@ def element_from_spec(spec: dict):
         )
     if t == "FlowChain":
         return FlowChain(tuple(element_from_spec(s) for s in spec["layers"]))
+    if t == "EmbeddedChain":
+        return EmbeddedChain(
+            element_from_spec(spec["embed"]), element_from_spec(spec["chain"])
+        )
     if t == "LogitLayer":
         dtype = jnp.dtype(spec["dtype"])
         z = jnp.zeros((spec["d"],), dtype)
