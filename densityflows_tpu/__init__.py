@@ -69,6 +69,7 @@ from .inference import (
     SMCState,
     effective_sample_size,
     fit_posterior,
+    fit_posterior_rounds,
     fit_variational,
     flow_mcmc,
     make_weighted_train_step,
@@ -124,7 +125,7 @@ __all__ = [
     "EnsembleFlow", "train_ensemble", "stack_models",
     # inference engine
     "sample_with_rejection", "weighted_nll_loss", "make_weighted_train_step",
-    "fit_posterior", "fit_variational",
+    "fit_posterior", "fit_posterior_rounds", "fit_variational",
     "effective_sample_size", "systematic_resample",
     "SMCState", "smc_step", "run_smc",
     "flow_mcmc", "sbc_ranks", "sbc_uniformity",

@@ -45,6 +45,7 @@ __all__ = [
     "weighted_nll_loss",
     "make_weighted_train_step",
     "fit_posterior",
+    "fit_posterior_rounds",
     "fit_variational",
     "effective_sample_size",
     "systematic_resample",
@@ -232,6 +233,103 @@ def fit_posterior(
             print(f"epoch {epoch + 1} | weighted NLL = {float(loss)}")
     flow.model = model
     return opt_state
+
+
+def fit_posterior_rounds(
+    flow: Flow,
+    simulator: Callable[[np.ndarray], np.ndarray],
+    prior_sample: Callable[[np.random.Generator, int], np.ndarray],
+    prior_log_prob: Callable[[np.ndarray], np.ndarray],
+    x_obs,
+    *,
+    n_rounds: int = 3,
+    n_sims_per_round: int = 1000,
+    optimizer=None,
+    epochs: int = 50,
+    batchsize: int = 64,
+    key=None,
+    rng=None,
+    verbose: bool = False,
+):
+    """Sequential (multi-round) SNPE: simulate → fit → propose, focused on
+    one observation ``x_obs``.
+
+    Round 1 draws θ from the prior; later rounds draw from the CURRENT
+    posterior estimate q(θ | x_obs) (the proposal), correcting the NLL
+    with SNPE-B importance weights w = p(θ)/q̃(θ | x_obs) so the fit
+    still targets the true posterior. Proposal densities come from the
+    flow itself (``log_prob``), so no auxiliary density estimator is
+    needed. Simulation happens on the host (``simulator`` is arbitrary
+    user code); fitting is the fused/jitted path of
+    :func:`fit_posterior`.
+
+    Returns ``(flow, history)`` where history records per-round sim
+    counts and ESS of the importance weights. No reference counterpart —
+    the reference has no inference engine at all (SURVEY.md §2.2).
+    """
+    if key is None:
+        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+    if rng is None:
+        rng = np.random.default_rng(0)
+    x_obs = np.asarray(x_obs, np.float32).reshape(-1)
+
+    all_theta: list[np.ndarray] = []
+    all_x: list[np.ndarray] = []
+    all_logq: list[np.ndarray] = []  # log proposal density at each θ
+    history = []
+
+    for rnd in range(n_rounds):
+        key, k_fit, k_prop = jax.random.split(key, 3)
+        if rnd == 0:
+            theta = np.asarray(prior_sample(rng, n_sims_per_round), np.float32)
+            log_q = np.asarray(prior_log_prob(theta), np.float64)
+        else:
+            # propose from the current posterior at x_obs; reject outside
+            # the prior support (log p = -inf) by resampling from prior
+            cond = tuple(np.asarray(x_obs, np.float32))
+            draws = np.asarray(
+                flow.sample((n_sims_per_round,), cond, key=k_prop),
+                np.float32,
+            )
+            lp_prior = np.asarray(prior_log_prob(draws), np.float64)
+            bad = ~np.isfinite(lp_prior)
+            if bad.any():
+                draws[bad] = np.asarray(
+                    prior_sample(rng, int(bad.sum())), np.float32
+                )
+            theta = draws
+            cond_b = np.broadcast_to(x_obs, (len(theta), x_obs.shape[0]))
+            log_q = np.asarray(
+                flow.log_prob(jnp.asarray(theta), cond_b), np.float64
+            )
+        x_sim = np.asarray(simulator(theta), np.float32)
+        if x_sim.shape[0] != theta.shape[0]:
+            raise ValueError("simulator must return one row per θ")
+
+        all_theta.append(theta)
+        all_x.append(x_sim)
+        all_logq.append(log_q)
+
+        theta_cat = np.concatenate(all_theta)
+        x_cat = np.concatenate(all_x)
+        log_p = np.asarray(prior_log_prob(theta_cat), np.float64)
+        log_w = log_p - np.concatenate(all_logq)
+        log_w -= log_w.max()
+        w = np.exp(log_w).astype(np.float32)
+        w /= w.mean()
+        ess = float(w.sum() ** 2 / (w * w).sum())
+
+        fit_posterior(
+            flow, theta_cat, x_cat, weights=w if rnd > 0 else None,
+            optimizer=optimizer, epochs=epochs, batchsize=batchsize,
+            key=k_fit, verbose=False,
+        )
+        history.append({"round": rnd + 1, "n_sims": int(len(theta_cat)),
+                        "weight_ess": ess})
+        if verbose:
+            print(f"round {rnd + 1}: {len(theta_cat)} sims, weight ESS "
+                  f"{ess:.1f}, NLL {flow.train_loss[-1]:.4f}")
+    return flow, history
 
 
 # -- variational (reverse-KL) fit -------------------------------------------

@@ -1,0 +1,73 @@
+"""Multi-round SNPE (fit_posterior_rounds) on a conjugate-Gaussian toy."""
+
+import numpy as np
+import jax
+
+import densityflows_tpu as df
+
+SIGMA = 0.5
+
+
+def test_multiround_snpe_recovers_conjugate_posterior():
+    # θ ~ N(0,1);  x|θ ~ N(θ, σ²);  observe x_obs
+    # => posterior N(x_obs/(1+σ²), σ²/(1+σ²))
+    x_obs = 1.0
+    post_mean = x_obs / (1 + SIGMA**2)          # 0.8
+    post_std = np.sqrt(SIGMA**2 / (1 + SIGMA**2))  # 0.447
+
+    sim_rng = np.random.default_rng(0)
+
+    def simulator(theta):
+        return theta + SIGMA * sim_rng.normal(size=theta.shape)
+
+    def prior_sample(rng, n):
+        return rng.normal(size=(n, 1))
+
+    def prior_log_prob(theta):
+        t = np.asarray(theta)[:, 0]
+        return -0.5 * t**2 - 0.5 * np.log(2 * np.pi)
+
+    flow = df.Flow(
+        df.flow_chain(
+            df.coupling_layer(1, [0], n=1, kind=df.RQSCouplingLayer,
+                              key=jax.random.key(0), n_bins=8,
+                              hidden_dim_t=32),
+        ),
+        df.MetaData("", 1, 1, np.array([-4.0], np.float32),
+                    np.array([4.0], np.float32)),
+    )
+    flow, history = df.fit_posterior_rounds(
+        flow, simulator, prior_sample, prior_log_prob, [x_obs],
+        n_rounds=3, n_sims_per_round=800, epochs=40,
+        key=jax.random.key(1), rng=np.random.default_rng(2),
+    )
+    assert len(history) == 3
+    assert history[-1]["n_sims"] == 3 * 800
+    assert all(np.isfinite(h["weight_ess"]) and h["weight_ess"] > 1
+               for h in history)
+
+    draws = np.asarray(
+        flow.sample((20_000,), (x_obs,), key=jax.random.key(3))
+    )[:, 0]
+    assert abs(draws.mean() - post_mean) < 0.12
+    assert abs(draws.std() - post_std) < 0.12
+
+
+def test_multiround_snpe_validates_simulator():
+    def bad_simulator(theta):
+        return theta[: len(theta) // 2]
+
+    flow = df.Flow(
+        df.flow_chain(df.coupling_layer(1, [0], n=1, key=jax.random.key(0))),
+        df.MetaData("", 1, 1, np.array([-4.0], np.float32),
+                    np.array([4.0], np.float32)),
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        df.fit_posterior_rounds(
+            flow, bad_simulator,
+            lambda rng, n: rng.normal(size=(n, 1)),
+            lambda t: np.zeros(len(t)),
+            [0.0], n_rounds=1, n_sims_per_round=64, epochs=1,
+        )
