@@ -81,7 +81,10 @@ from .inference import (
     systematic_resample,
     weighted_nll_loss,
 )
-from .utils.checkpoint import save_flow, load_flow, save_element, load_element
+from .utils.checkpoint import (
+    save_flow, load_flow, save_element, load_element,
+    save_ensemble, load_ensemble,
+)
 from .utils.config import (
     NetConfig, DataConfig, TrainConfig, FlowConfig, build_flow, run_experiment,
 )
@@ -132,6 +135,7 @@ __all__ = [
     "summarize",
     # persistence
     "save_flow", "load_flow", "save_element", "load_element",
+    "save_ensemble", "load_ensemble",
     # config
     "NetConfig", "DataConfig", "TrainConfig", "FlowConfig",
     "build_flow", "run_experiment",

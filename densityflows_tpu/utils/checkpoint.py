@@ -50,6 +50,8 @@ from ..ops.mlp import MLP
 __all__ = [
     "save_flow",
     "load_flow",
+    "save_ensemble",
+    "load_ensemble",
     "save_element",
     "load_element",
     "element_spec",
@@ -364,6 +366,64 @@ def save_flow(directory: str, flow: Flow, opt_state=None, *, erase: bool = False
     if opt_state is not None:
         np.savez(os.path.join(directory, "opt_state.npz"),
                  **_leaves_to_npz(opt_state))
+
+
+def save_ensemble(directory: str, ens, *, erase: bool = False) -> None:
+    """Persist an :class:`~densityflows_tpu.ensemble.EnsembleFlow`.
+
+    The stacked member parameters (leading K axis on every leaf) are
+    saved through the same element spec/arrays format — the spec simply
+    records the K-leading shapes."""
+    _prepare_dir(directory, erase)
+    proto = jax.tree_util.tree_map(lambda l: l[0], ens.model)
+    with open(os.path.join(directory, "ensemble.json"), "w") as f:
+        json.dump(
+            {
+                "format_version": _FORMAT_VERSION,
+                "n_members": ens.n_members,
+                "member_spec": element_spec(proto),
+                "base": element_spec(ens.base),
+                "metadata": {
+                    "hash": ens.metadata.hash,
+                    "d": ens.metadata.d,
+                    "n": ens.metadata.n,
+                    "theta_min": np.asarray(ens.metadata.theta_min).tolist(),
+                    "theta_max": np.asarray(ens.metadata.theta_max).tolist(),
+                },
+                "train_loss": [list(map(float, row)) for row in ens.train_loss],
+                "valid_loss": [list(map(float, row)) for row in ens.valid_loss],
+            },
+            f, indent=1,
+        )
+    np.savez(os.path.join(directory, "stacked.npz"), **_leaves_to_npz(ens.model))
+    np.savez(os.path.join(directory, "base.npz"), **_leaves_to_npz(ens.base))
+
+
+def load_ensemble(directory: str):
+    """Load an ensemble saved by :func:`save_ensemble`."""
+    from ..ensemble import EnsembleFlow
+
+    with open(os.path.join(directory, "ensemble.json")) as f:
+        meta = json.load(f)
+    k = meta["n_members"]
+    proto = element_from_spec(meta["member_spec"])
+    skeleton = jax.tree_util.tree_map(
+        lambda l: jnp.zeros((k,) + l.shape, l.dtype), proto
+    )
+    stacked = _npz_into_tree(skeleton, np.load(os.path.join(directory, "stacked.npz")))
+    base = _npz_into_tree(
+        element_from_spec(meta["base"]), np.load(os.path.join(directory, "base.npz"))
+    )
+    md = meta["metadata"]
+    metadata = MetaData(
+        md["hash"], md["d"], md["n"],
+        np.asarray(md["theta_min"], np.float32),
+        np.asarray(md["theta_max"], np.float32),
+    )
+    return EnsembleFlow(
+        stacked, metadata, base, k,
+        train_loss=meta["train_loss"], valid_loss=meta["valid_loss"],
+    )
 
 
 def load_flow(directory: str, optimizer=None):

@@ -89,3 +89,20 @@ def test_stack_models_rejects_mismatched_structures():
         df.stack_models([df.flow_chain(a), df.flow_chain(b)])
     with pytest.raises(ValueError):
         df.stack_models([])
+
+
+def test_ensemble_checkpoint_roundtrip(tmp_path):
+    data, x, th = _data(5)
+    ens = df.train_ensemble(
+        _factory_for(data), data, n_members=3, epochs=2,
+        key=jax.random.key(6), verbose=False,
+    )
+    df.save_ensemble(str(tmp_path / "ens"), ens)
+    ens2 = df.load_ensemble(str(tmp_path / "ens"))
+    assert ens2.n_members == 3
+    lp1 = np.asarray(ens.log_prob(x[:10], th[:10]))
+    lp2 = np.asarray(ens2.log_prob(x[:10], th[:10]))
+    np.testing.assert_array_equal(lp1, lp2)
+    assert np.asarray(ens2.train_loss).shape == (2, 3)
+    s = np.asarray(ens2.sample((100,), (-1.0,), key=jax.random.key(7)))
+    assert s.shape == (100, 3) and np.isfinite(s).all()
