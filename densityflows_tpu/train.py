@@ -47,10 +47,34 @@ __all__ = [
 ]
 
 
-def masked_nll_loss(model, base, x, theta, mask):
+def masked_nll_loss(model, base, x, theta, mask, *, remat: bool = False):
     """NLL over valid rows only; ``mask`` zeroes padded rows so partial
-    batches keep a static shape (loss semantics: src/Flows.jl:352-359)."""
-    z, ldj = model.inverse(x, theta)
+    batches keep a static shape (loss semantics: src/Flows.jl:352-359).
+
+    ``remat=True`` wraps each layer's inverse in ``jax.checkpoint`` so
+    the backward pass recomputes activations per layer instead of
+    storing the whole chain's — O(1) activation memory in chain depth,
+    the standard FLOPs-for-HBM trade for deep chains / huge batches.
+    """
+    if remat:
+        from .models.chains import FlowChain
+
+        if isinstance(model, FlowChain):
+            # per-layer remat: backward recomputes one layer at a time
+            ldj = None
+            y = x
+            for layer in reversed(model.layers):
+                y, ldj_i = jax.checkpoint(
+                    lambda l, v, t: l.inverse(v, t)
+                )(layer, y, theta)
+                ldj = ldj_i if ldj is None else ldj + ldj_i
+            z = y
+        else:
+            z, ldj = jax.checkpoint(
+                lambda m, v, t: m.inverse(v, t)
+            )(model, x, theta)
+    else:
+        z, ldj = model.inverse(x, theta)
     per_sample = base.log_prob(z) + ldj
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return -jnp.sum(per_sample * mask) / denom
@@ -61,18 +85,19 @@ def _eval_nll(model, base, x, theta):
     return -jnp.mean(base.log_prob(z) + ldj)
 
 
-def make_train_step(optimizer):
+def make_train_step(optimizer, *, remat: bool = False):
     """Single-batch fused step (loss + grad + update, donated state).
 
     The streaming alternative to :func:`make_train_program` for callers
-    that feed batches from their own pipeline.
+    that feed batches from their own pipeline. ``remat=True`` enables
+    per-layer rematerialization (see :func:`masked_nll_loss`).
     """
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(model, opt_state, base, x, theta, mask):
-        loss, grads = jax.value_and_grad(masked_nll_loss)(
-            model, base, x, theta, mask
-        )
+        loss, grads = jax.value_and_grad(
+            partial(masked_nll_loss, remat=remat)
+        )(model, base, x, theta, mask)
         updates, opt_state = optimizer.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
         return model, opt_state, loss
@@ -110,6 +135,7 @@ def make_train_program(
     n_valid: int | None = None,
     batch_sharding=None,
     pure: bool = False,
+    remat: bool = False,
 ):
     """Build (and cache) the fused multi-epoch training program.
 
@@ -125,9 +151,10 @@ def make_train_program(
     src/Flows.jl:419-437).
     """
     cache_key = (id(optimizer), batchsize, epochs, shuffle, n_train, n_valid,
-                 batch_sharding, pure)
+                 batch_sharding, pure, remat)
     if cache_key in _PROGRAM_CACHE:
         return _PROGRAM_CACHE[cache_key]
+    loss_fn = partial(masked_nll_loss, remat=remat)
 
     def train_program_pure(model, opt_state, base, x, theta, x_valid, theta_valid, key):
         n = x.shape[0] if n_train is None else n_train
@@ -155,7 +182,7 @@ def make_train_program(
             def batch_body(carry, im):
                 model, opt_state = carry
                 i, m = im
-                loss, grads = jax.value_and_grad(masked_nll_loss)(
+                loss, grads = jax.value_and_grad(loss_fn)(
                     model, base, constrain(x[i]), constrain(theta[i]), m
                 )
                 updates, opt_state = optimizer.update(grads, opt_state, model)
@@ -364,6 +391,7 @@ def train(
     early_stopping_min_delta: float = 0.0,
     early_stopping_check_every: int | None = None,
     restore_best: bool = True,
+    remat: bool = False,
 ):
     """Train the flow by NLL (reference ``train!``, src/Flows.jl:380-445).
 
@@ -377,6 +405,10 @@ def train(
     ``checkpoint_every`` epochs with a full checkpoint (model + optimizer
     state + histories) written between chunks; ``resume=True`` restarts
     from the last checkpoint, skipping already-completed epochs.
+
+    ``remat=True`` rematerializes per-layer activations in the backward
+    pass (``jax.checkpoint``) — O(1) activation memory in chain depth,
+    for deep chains or batches that would otherwise exhaust HBM.
 
     Early stopping (no reference counterpart): set
     ``early_stopping_patience=p`` to stop once the validation NLL hasn't
@@ -454,6 +486,7 @@ def train(
     program = make_train_program(
         optimizer, batchsize, epochs, shuffle,
         n_train=n_train, n_valid=n_valid, batch_sharding=batch_sharding,
+        remat=remat,
     )
     import time as _time
 
