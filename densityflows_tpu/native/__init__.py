@@ -141,7 +141,10 @@ def gather_rows(src: np.ndarray, idx: np.ndarray, *,
     if out is None:
         out = np.empty((idx.shape[0], src.shape[1]), src.dtype)
     if n_threads is None:
-        n_threads = min(8, os.cpu_count() or 1)
+        # std::thread spawn costs ~50µs each; only fan out when every
+        # thread gets enough rows to amortize it
+        n_threads = min(8, os.cpu_count() or 1,
+                        max(1, idx.shape[0] * src.shape[1] // 262144))
     fn = lib.df_gather_f32 if src.dtype == np.float32 else lib.df_gather_f64
     fn(src, idx, idx.shape[0], src.shape[1], out, n_threads)
     return out
