@@ -65,7 +65,14 @@ class FlowChain:
 
     def forward_(self, z, theta):
         """ldj-free sampling sweep (reference ``forward!`` fold,
-        Chains.jl:187-197)."""
+        Chains.jl:187-197). On TPU at large batches the whole chain runs
+        as ONE fused Pallas kernel (models/fused_chain.py) — a single
+        VMEM-resident pass instead of one kernel per layer."""
+        from .fused_chain import maybe_apply_fused
+
+        out = maybe_apply_fused(self, z, theta, "fwd", False)
+        if out is not None:
+            return out
         for layer in self.layers:
             z = layer.forward_(z, theta)
         return z

@@ -55,20 +55,33 @@ def _sample_program(model, base_stub, r, theta):
     return model.forward_(r, theta)
 
 
+def _chain_eval(model, y, theta, dirn):
+    """Inverse/forward fold with ldj, routed through the whole-chain fused
+    kernel on TPU inference paths (models/fused_chain.py; grad-safe — its
+    custom-vjp backward falls back to the jnp oracle)."""
+    if isinstance(model, FlowChain):
+        from .fused_chain import maybe_apply_fused
+
+        res = maybe_apply_fused(model, y, theta, dirn, True)
+        if res is not None:
+            return res
+    return model.forward(y, theta) if dirn == "fwd" else model.inverse(y, theta)
+
+
 @jax.jit
 def _log_prob_program(model, base, x, theta):
-    z, ldj = model.inverse(x, theta)
+    z, ldj = _chain_eval(model, x, theta, "inv")
     return base.log_prob(z) + ldj
 
 
 @jax.jit
 def _forward_program(model, z, theta):
-    return model.forward(z, theta)
+    return _chain_eval(model, z, theta, "fwd")
 
 
 @jax.jit
 def _inverse_program(model, x, theta):
-    return model.inverse(x, theta)
+    return _chain_eval(model, x, theta, "inv")
 
 
 class Flow:
@@ -170,9 +183,35 @@ class Flow:
         dims = tuple(int(s) for s in dims)
         if key is None:
             key = jax.random.key(np.random.randint(0, 2**31 - 1))
+        out = self._sample_fused(dims, theta, key, dtype)
+        if out is not None:
+            return out
         r = self.base.sample(key, dims, dtype)
         theta_n = self.prepare_theta(theta, dims, dtype)
         return _sample_program(self.model, None, r, theta_n)
+
+    def _sample_fused(self, dims, theta, key, dtype):
+        """Single-kernel sampling (in-kernel base draw + whole-chain fold,
+        models/fused_chain.py) for the StandardNormal base on TPU; a
+        scalar/tuple θ is broadcast inside the kernel without ever
+        materializing (rows, n) in HBM."""
+        if not isinstance(self.base, StandardNormal) or dtype != jnp.float32:
+            return None
+        if not isinstance(self.model, FlowChain):
+            return None
+        from .fused_chain import maybe_sample_fused
+
+        rows = int(np.prod(dims)) if dims else 1
+        if theta is None or isinstance(theta, (int, float, tuple, list)):
+            theta_n = self.prepare_theta(theta, (1,), dtype)
+        else:
+            theta_n = self.prepare_theta(theta, dims, dtype)
+            theta_n = theta_n.reshape(rows, theta_n.shape[-1])
+        out = maybe_sample_fused(self.model, key, rows, self.metadata.d,
+                                 theta_n)
+        if out is None:
+            return None
+        return out.reshape(dims + (self.metadata.d,))
 
     def sample_sweep(self, thetas, n_per_theta: int, *, key=None,
                      dtype=jnp.float32, mesh=None):
@@ -198,6 +237,15 @@ class Flow:
             theta_full, self._theta_min.astype(dtype),
             self._theta_max.astype(dtype),
         ) if self.metadata.n else theta_full
+        if (mesh is None and dtype == jnp.float32
+                and isinstance(self.base, StandardNormal)
+                and isinstance(self.model, FlowChain)):
+            from .fused_chain import maybe_sample_fused
+
+            out = maybe_sample_fused(self.model, key, total,
+                                     self.metadata.d, theta_n)
+            if out is not None:
+                return out.reshape(g, n_per_theta, self.metadata.d)
         r = self.base.sample(key, (total,), dtype)
         if mesh is not None:
             from ..parallel.mesh import data_sharding
