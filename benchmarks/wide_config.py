@@ -2,6 +2,17 @@
 
 d=32, 8 conditions, hidden-256 conditioners, 4 coupling blocks,
 batch 8192 — MXU-bound territory. Prints one JSON line per variant.
+
+Timing method: scanned two-point differencing, interleaved across
+variants. Each variant's K training steps run as ONE device program
+(``lax.scan`` over the jitted step); per-step time is
+(t(K2) − t(K1)) / (K2 − K1), which cancels the per-dispatch constant
+exactly. The tunneled single-chip grant makes anything else unreliable:
+per-dispatch round-trip latency flips between ~1 ms and ~28 ms for a
+whole process lifetime (so blocked OR async per-step loops measure the
+tunnel, not the device), and one-off multi-second stalls hit single
+dispatches (the cross-round median rejects them). Variants are
+interleaved so drift hits all of them equally.
 """
 
 import json
@@ -29,6 +40,9 @@ def main():
     base = df.StandardNormal(d)
     jax.block_until_ready(jnp.sum(x))  # grab the device grant first
 
+    n_draws = 1 << 18
+    theta_s = jnp.broadcast_to(theta[:1], (n_draws, n_cond))
+
     def build(dtype):
         keys = jax.random.split(jax.random.key(0), n_blocks)
         return df.flow_chain(
@@ -38,48 +52,94 @@ def main():
             df.normalization_layer(x_ref, -1.0, 1.0),
         )
 
-    def run(tag, dtype, fused, iters=50):
+    K1, K2 = 8, 40  # scan lengths for two-point differencing
+    M1, M2 = 2, 10  # sampling-sweep repeat counts
+
+    def make_scan_train(step, k):
+        @jax.jit
+        def run(model, opt_state, x, theta, mask):
+            def body(c, _):
+                m, o = c
+                m, o, loss = step(m, o, base, x, theta, mask)
+                return (m, o), loss
+
+            (m, o), losses = jax.lax.scan(
+                body, (model, opt_state), None, length=k)
+            return m, o, losses[-1]
+
+        return run
+
+    def make_scan_sample(m_reps):
+        @jax.jit
+        def run(model, key):
+            def body(c, k):
+                r = base.sample(k, (n_draws,))
+                out = _sample_program(model, None, r, theta_s)
+                # full reduce: consuming only out[0, 0] lets XLA dead-code
+                # -eliminate every other row of the whole sweep (row-wise
+                # independent program) — measured 2.6x "too fast"
+                return c + jnp.sum(out), None
+
+            tot, _ = jax.lax.scan(
+                body, jnp.float32(0), jax.random.split(key, m_reps))
+            return tot  # tiny output; the full sweeps still run on device
+
+        return run
+
+    # -- compile every variant up front (fused flag is a trace-time policy,
+    #    so each variant jits fresh closures under its own flag) ----------
+    variants = {}
+    for tag, dtype, fused in (
+        ("fused_f32", jnp.float32, True),
+        ("fused_bf16", jnp.bfloat16, True),
+        ("jnp_f32", jnp.float32, False),
+        ("jnp_bf16", jnp.bfloat16, False),
+    ):
         L.set_fused_kernels(fused)
-        jax.clear_caches()
         optimizer = optax.adam(1e-3)
-        step = make_train_step(optimizer)
+        raw = make_train_step(optimizer)
         model = build(dtype)
         opt_state = optimizer.init(model)
-        model, opt_state, loss = step(model, opt_state, base, x, theta, mask)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            model, opt_state, loss = step(model, opt_state, base, x, theta, mask)
-        final = float(np.asarray(loss))
-        dt = time.perf_counter() - t0
-        train_sps = iters * batch / dt
+        t1 = make_scan_train(raw, K1)
+        t2 = make_scan_train(raw, K2)
+        s1 = make_scan_sample(M1)
+        s2 = make_scan_sample(M2)
+        jax.block_until_ready(t1(model, opt_state, x, theta, mask))
+        jax.block_until_ready(t2(model, opt_state, x, theta, mask))
+        jax.block_until_ready(s1(model, jax.random.key(1)))
+        jax.block_until_ready(s2(model, jax.random.key(1)))
+        variants[tag] = dict(t1=t1, t2=t2, s1=s1, s2=s2, model=model,
+                             opt=opt_state, dt_train=[], dt_samp=[], loss=0.0)
+    L.set_fused_kernels("auto")
 
-        n_draws = 1 << 18
-        theta_s = jnp.broadcast_to(theta[:1], (n_draws, n_cond))
-        r = base.sample(jax.random.key(1), (n_draws,))
-        _sample_program(model, None, r, theta_s).block_until_ready()
+    def timed(fn, *args):
         t0 = time.perf_counter()
-        reps = 20
-        for i in range(reps):
-            out = _sample_program(
-                model, None, base.sample(jax.random.key(2 + i), (n_draws,)),
-                theta_s,
-            )
-        np.asarray(out[0, 0])
-        sample_dps = reps * n_draws / (time.perf_counter() - t0)
+        out = fn(*args)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0, out
+
+    rounds = 6
+    for i in range(rounds):
+        for tag, v in variants.items():
+            e1, _ = timed(v["t1"], v["model"], v["opt"], x, theta, mask)
+            e2, out = timed(v["t2"], v["model"], v["opt"], x, theta, mask)
+            v["model"], v["opt"], loss = out
+            v["loss"] = float(np.asarray(loss))
+            v["dt_train"].append((e2 - e1) / (K2 - K1))
+            e1, _ = timed(v["s1"], v["model"], jax.random.key(i))
+            e2, _ = timed(v["s2"], v["model"], jax.random.key(i))
+            v["dt_samp"].append((e2 - e1) / (M2 - M1))
+
+    for tag, v in variants.items():
+        step_t = float(np.median(v["dt_train"]))
+        samp_t = float(np.median(v["dt_samp"]))
         print(json.dumps({
             "variant": tag,
-            "train_samples_per_sec": round(train_sps, 1),
-            "sample_draws_per_sec": round(sample_dps, 1),
-            "ms_per_step": round(dt / iters * 1e3, 3),
-            "final_loss": round(final, 4),
+            "train_samples_per_sec": round(batch / step_t, 1),
+            "sample_draws_per_sec": round(n_draws / samp_t, 1),
+            "ms_per_step": round(step_t * 1e3, 3),
+            "final_loss": round(v["loss"], 4),
         }))
-
-    run("fused_f32", jnp.float32, True)
-    run("fused_bf16", jnp.bfloat16, True)
-    run("jnp_f32", jnp.float32, False)
-    run("jnp_bf16", jnp.bfloat16, False)
-    L.set_fused_kernels("auto")
 
 
 if __name__ == "__main__":

@@ -13,6 +13,16 @@ Permutation, InvertibleLinear (LU), Logit. Chains containing anything else
 (splines, MAF/IAF, embeddings) return ``None`` from
 :func:`maybe_apply_fused` and keep the per-layer path.
 
+**Measured routing (v5e, two-point scan timing — see
+benchmarks/fused_chain_probe.py and the crossover table on
+``models.layers.use_fused_chain``):** XLA vectorizes small-d chains on
+the VPU at ~roofline (d=5, h=16: 373M rows/s log_prob vs 91M here), but
+once the conditioner matmuls are MXU-worthy the one-kernel path wins
+big — 1.43x at (d=16, h=64), 2.6–3.1x at h=128, 2.8x at the wide
+config (d=32, h=256: 33M vs 12M rows/s; in-kernel sampler 37M vs 12M).
+"auto" therefore routes here exactly when TPU ∧ rows ≥ 4096 ∧ d ≥ 16 ∧
+hidden ≥ 64; ``set_fused_kernels(True/False)`` forces either way.
+
 Training deliberately does NOT route here: ``nll_loss`` differentiates
 ``model.inverse``, whose per-layer fused kernels have real fused backward
 kernels (ops/pallas_coupling.py); this module's custom-vjp backward
@@ -37,7 +47,7 @@ from ..ops.pallas_chain import (
     run_chain_sample,
 )
 from .glow import ActNormLayer, InvertibleLinearLayer
-from .layers import NICECouplingLayer, RNVPCouplingLayer, use_fused
+from .layers import NICECouplingLayer, RNVPCouplingLayer, use_fused_chain
 from .normalization import LogitLayer, NormalizationLayer, PermutationLayer
 
 __all__ = ["maybe_apply_fused", "maybe_sample_fused", "chain_is_fusable"]
@@ -215,6 +225,20 @@ def _plan_params(chain, dirn):
     return tuple(plan), params
 
 
+def _max_hidden(chain) -> int:
+    """Widest conditioner hidden layer — the quantity the measured
+    auto-gate thresholds on (layers.use_fused_chain)."""
+    h = 0
+    for layer in _iter_layers(chain, "fwd"):
+        if isinstance(layer, (RNVPCouplingLayer, NICECouplingLayer)):
+            nets = ([layer.s_net] if isinstance(layer, RNVPCouplingLayer)
+                    else []) + [layer.t_net]
+            for net in nets:
+                for w in net.weights[:-1]:
+                    h = max(h, int(np.shape(w)[-1]))
+    return h
+
+
 def chain_is_fusable(chain, d: int, n: int) -> bool:
     """Static feasibility check (types + VMEM budget), no tracing."""
     try:
@@ -313,7 +337,9 @@ def maybe_sample_fused(chain, key, rows, d, theta_n):
         # the CPU interpreter stubs prng_random_bits to zeros — the
         # in-kernel draw is a real-TPU-only fast path
         return None
-    if not use_fused(rows) or not chain_is_fusable(chain, d, n):
+    if not use_fused_chain(rows, d, _max_hidden(chain)):
+        return None
+    if not chain_is_fusable(chain, d, n):
         return None
     seed = jax.random.key_data(key).reshape(-1)[:2].astype(jnp.int32)
     try:
@@ -331,7 +357,7 @@ def maybe_apply_fused(chain, y, theta, dirn, with_ldj):
     rows = int(np.prod(batch_shape))
     d = y.shape[-1]
     n = theta.shape[-1] if theta is not None else 0
-    if not use_fused(rows):
+    if not use_fused_chain(rows, d, _max_hidden(chain)):
         return None
     if not chain_is_fusable(chain, d, n):
         return None

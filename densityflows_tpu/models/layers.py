@@ -41,11 +41,18 @@ __all__ = [
     "coupling_layer", "set_fused_kernels", "use_fused",
 ]
 
-# Fused-Pallas policy: "auto" uses the fused kernels on TPU whenever the
-# flattened batch is large enough to amortize a kernel launch; True/False
-# force it on/off (tests force on with interpret-mode on CPU).
+# Fused-Pallas policy. Measured on v5e with two-point scan timing
+# (dispatch-cancelled; benchmarks/wide_config.py,
+# benchmarks/fused_chain_probe.py):
+# - PER-LAYER fused kernels lose everywhere (wide train step: jnp
+#   1.00 ms vs 1.47 ms; inference similar) — each launch re-round-trips
+#   the batch and the matmuls are pinned to multi-pass f32 while XLA
+#   uses single-pass bf16-input MXU ops. "auto" never routes to them.
+# - WHOLE-CHAIN fusion (fused_chain.py) loses at small d (XLA hits VPU
+#   roofline) but wins 1.4-3.1x once the conditioner matmuls are
+#   MXU-worthy — "auto" routes by the measured crossover (thresholds
+#   below). True forces all kernels on (tests: interpret mode on CPU).
 _FUSED_MODE: str | bool = "auto"
-_FUSED_MIN_BATCH = 4096
 
 
 def set_fused_kernels(mode: str | bool) -> None:
@@ -62,12 +69,41 @@ def set_fused_kernels(mode: str | bool) -> None:
     _FUSED_MODE = mode
 
 
+# Whole-chain auto thresholds, placed by the measured crossover
+# (benchmarks/chain_crossover.py + benchmarks/fused_chain_probe.py;
+# table also in docs/design.md): chain-fused log_prob vs XLA on v5e is
+# 0.34x at (d=5, h=64), ~0.7x at (d=8, h=32), 1.43x at (d=16, h=64),
+# 2.6-3.1x at h=128, 2.8x at (d=32, h=256). XLA vectorizes small-d
+# chains on the VPU at ~roofline; the one-kernel path wins once the
+# conditioner matmuls are MXU-worthy.
+_CHAIN_MIN_BATCH = 4096
+_CHAIN_MIN_D = 16
+_CHAIN_MIN_HIDDEN = 64
+
+
 def use_fused(batch_rows: int) -> bool:
+    """Per-layer fused-kernel gate — explicit opt-in only (see the
+    measurement note on ``_FUSED_MODE`` above)."""
+    del batch_rows
+    return _FUSED_MODE is True
+
+
+def use_fused_chain(batch_rows: int, d: int | None = None,
+                    max_hidden: int | None = None) -> bool:
+    """Whole-chain fusion gate (models/fused_chain.py). "auto" routes to
+    the one-kernel path only where it measured faster than XLA: on TPU,
+    flattened batch ≥ 4096, feature dim ≥ 16 and conditioner hidden
+    width ≥ 64 (crossover table above)."""
     if _FUSED_MODE is True:
         return True
     if _FUSED_MODE is False:
         return False
-    return jax.default_backend() == "tpu" and batch_rows >= _FUSED_MIN_BATCH
+    return (
+        jax.default_backend() == "tpu"
+        and batch_rows >= _CHAIN_MIN_BATCH
+        and d is not None and d >= _CHAIN_MIN_D
+        and max_hidden is not None and max_hidden >= _CHAIN_MIN_HIDDEN
+    )
 
 
 

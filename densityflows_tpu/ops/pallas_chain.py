@@ -13,6 +13,11 @@ affine/ldj on the VPU), and writes the result once. HBM traffic drops from
 O(layers · B · d) to O(B · d), and per-kernel launch/dispatch overhead is
 paid once per program instead of once per layer.
 
+Measured on v5e, that traffic saving does NOT translate into speed: these
+chains are compute-bound and XLA fuses the per-layer fold at least as
+well (numbers in the models/fused_chain.py docstring) — so the policy
+layer only routes here on explicit ``set_fused_kernels(True)``.
+
 This module is layer-agnostic: it executes a *plan* — a static tuple of op
 descriptors — against a flat tuple of parameter arrays. The plan is built
 from a ``FlowChain`` by ``models/fused_chain.py`` (which knows the layer
@@ -270,14 +275,24 @@ def _sample_kernel(plan, n, tb, d, out_dtype, *refs):
     param_refs, i = _split_param_refs(plan, refs, i)
     out_ref = refs[i]
 
-    # distinct stream per batch tile; deterministic in (key, tile)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # distinct stream per batch tile; deterministic in (key, tile).
+    # Mosaic accepts at most TWO seed words on v5e, so the tile index is
+    # mixed into the first word with a Weyl-sequence odd constant
+    # (int32 wraparound is the intended mixing).
+    tile_mix = pl.program_id(0) * np.int32(-1640531527)  # 2654435769 mod 2^32
+    pltpu.prng_seed(seed_ref[0] + tile_mix, seed_ref[1])
     bits1 = pltpu.prng_random_bits((tb, d))
     bits2 = pltpu.prng_random_bits((tb, d))
+    # shift-then-mask extracts original bits [8..31] as a uniform int in
+    # [0, 2^24) even though prng_random_bits is int32 on TPU (a bare
+    # arithmetic >> of negative bits gave u ∉ [0,1) → NaNs in the sqrt —
+    # caught on hardware, invisible to the zero-stubbed CPU interpreter;
+    # Mosaic has no uint32→f32 cast, hence the int-domain mask)
+    m24 = jnp.int32(0x00FFFFFF)
     # 24-bit mantissa uniforms: u1 ∈ [0,1) so 1−u1 ∈ (0,1] keeps the log
     # finite; tail caps at √(−2·ln 2⁻²⁴) ≈ 5.8σ (standard f32 sampler cap)
-    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
-    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    u1 = ((bits1 >> 8) & m24).astype(jnp.float32) * (1.0 / 16777216.0)
+    u2 = ((bits2 >> 8) & m24).astype(jnp.float32) * (1.0 / 16777216.0)
     r = jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(
         (2.0 * np.pi) * u2
     )
@@ -300,7 +315,10 @@ def chain_vmem_bytes(plan, params, d: int, n: int, tb: int) -> int:
 
 
 def pick_tile_rows(plan, params, d: int, n: int, rows: int) -> int:
-    for tb in (2048, 1024, 512, 256, 128):
+    # tb capped at 1024: Mosaic's true scoped-vmem stack exceeds this
+    # estimate at tb=2048 (compile-time OOM at e.g. d=16/hidden=128), and
+    # the measured tile sweep never favored 2048 over 1024 anyway
+    for tb in (1024, 512, 256, 128):
         if tb <= max(rows, 8) and chain_vmem_bytes(plan, params, d, n, tb) < _VMEM_BUDGET:
             return tb
     return 8
