@@ -7,14 +7,20 @@ publishes no numbers, so baselines are measured):
   (3 coupling layers hidden 16 + NormalizationLayer, Adam 1e-3, batch 64,
   reference README.md:54-79) over the reference fixture,
 - final train NLL after 50 epochs,
-- sampling draws/s at 2^20 conditional draws per call.
+- sampling draws/s at 2^20 conditional draws per call,
+- the wide emulator config (d=32, n=8, hidden 256, 4 blocks, batch 8192).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-``vs_baseline`` compares against the first recorded TPU measurement
-(BENCH_BASELINE.json, written on first run) so cross-round improvements
-are visible; 1.0 on the first run.
+Timing method: two-point differencing — the workload runs at two sizes
+(50 vs 10 epochs; M reps of a sweep inside one ``lax.scan`` at two
+lengths) and the rate is computed from the difference, which cancels the
+tunnel's per-dispatch constant exactly (it flips between ~1 ms and
+~28 ms per process lifetime; see docs/design.md §3 postmortem). Scan
+bodies reduce over EVERY output element so XLA cannot dead-code-eliminate
+rows. ``vs_baseline`` compares against the first recorded TPU measurement
+(BENCH_BASELINE.json, written on first run).
 """
 
 import json
@@ -23,14 +29,64 @@ import time
 
 import numpy as np
 
+# 500-epoch gap: the README config is so small (~15 batches/epoch of
+# batch-64) that a 40-epoch difference (~12 ms of device time) drowns in
+# per-call jitter — the wider gap puts the signal well above it
+EPOCHS_LO, EPOCHS_HI = 10, 510
+M1, M2, REPS = 2, 8, 5
+
+
+def _timed(fn, *args):
+    import jax
+
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def _scan_rate(make_scan, work_per_rep, *args):
+    """work/s via two-point scan differencing; median over REPS."""
+    f1, f2 = make_scan(M1), make_scan(M2)
+    f1(*args), f2(*args)  # compile both lengths
+    ds = []
+    for _ in range(REPS):
+        t1 = _timed(f1, *args)
+        t2 = _timed(f2, *args)
+        ds.append((t2 - t1) / (M2 - M1))
+    return work_per_rep / float(np.median(ds))
+
+
+def _sample_rate(flow, n_draws, theta):
+    import jax
+    import jax.numpy as jnp
+
+    theta_n = flow.prepare_theta(theta, (n_draws,))
+    model, base = flow.model, flow.base
+
+    def make(m):
+        @jax.jit
+        def run(key):
+            def body(c, k):
+                r = base.sample(k, (n_draws,))
+                out = model.forward_(r, theta_n)
+                return c + jnp.sum(out), None
+
+            tot, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jax.random.split(key, m))
+            return tot
+
+        return run
+
+    return _scan_rate(make, n_draws, jax.random.key(3))
+
 
 def _bench_wide(jax, jnp, df):
     """Flagship emulator config: d=32, n=8, hidden 256, 4 coupling blocks,
-    batch 8192 — large enough that the fused Pallas kernels and the MXU
-    dominate. Returns train samples/s and sampling draws/s."""
+    batch 8192. Train steps scanned at two lengths (dispatch-cancelled);
+    sampling via the auto-routed path (whole-chain kernel at this size)."""
     import optax
 
-    from densityflows_tpu.models.flow import _sample_program
     from densityflows_tpu.train import make_train_step
 
     d, n_cond, hidden, n_blocks, batch = 32, 8, 256, 4, 8192
@@ -50,30 +106,46 @@ def _bench_wide(jax, jnp, df):
     step = make_train_step(optimizer)
 
     x = jnp.asarray(rng.normal(size=(batch, d)).astype(np.float32))
-    theta = jnp.asarray(rng.uniform(0, 1, size=(batch, n_cond)).astype(np.float32))
+    theta = jnp.asarray(
+        rng.uniform(0, 1, size=(batch, n_cond)).astype(np.float32))
     mask = jnp.ones((batch,), jnp.float32)
-    model = chain
-    opt_state = optimizer.init(model)
-    model, opt_state, loss = step(model, opt_state, base, x, theta, mask)
-    jax.block_until_ready(loss)  # compile
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        model, opt_state, loss = step(model, opt_state, base, x, theta, mask)
-    jax.block_until_ready(loss)
-    train_sps = iters * batch / (time.perf_counter() - t0)
+    opt_state = optimizer.init(chain)
+
+    def make_train_scan(m):
+        @jax.jit
+        def run(model, opt):
+            def body(c, _):
+                mm, oo = c
+                mm, oo, loss = step(mm, oo, base, x, theta, mask)
+                return (mm, oo), loss
+
+            (mm, oo), losses = jax.lax.scan(body, (model, opt), None,
+                                            length=m)
+            return losses[-1]
+
+        return run
+
+    train_sps = _scan_rate(make_train_scan, batch, chain, opt_state)
 
     n_draws = 1 << 18
-    theta_s = jnp.broadcast_to(theta[:1], (n_draws, n_cond))
-    r = base.sample(jax.random.key(1), (n_draws,))
-    _sample_program(model, None, r, theta_s).block_until_ready()
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        r = base.sample(jax.random.key(2 + i), (n_draws,))
-        out = _sample_program(model, None, r, theta_s)
-    out.block_until_ready()
-    sample_dps = iters * n_draws / (time.perf_counter() - t0)
+    theta1 = theta[:1]
+
+    def make_sample_scan(m):
+        @jax.jit
+        def run(key):
+            def body(c, k):
+                r = base.sample(k, (n_draws,))
+                out = chain.forward_(
+                    r, jnp.broadcast_to(theta1, (n_draws, n_cond)))
+                return c + jnp.sum(out), None
+
+            tot, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jax.random.split(key, m))
+            return tot
+
+        return run
+
+    sample_dps = _scan_rate(make_sample_scan, n_draws, jax.random.key(1))
     return {"train_sps": train_sps, "sample_dps": sample_dps}
 
 
@@ -82,7 +154,6 @@ def main():
     import jax.numpy as jnp
 
     import densityflows_tpu as df
-    from densityflows_tpu.models.flow import _sample_program
 
     here = os.path.dirname(os.path.abspath(__file__))
     dat = np.load(os.path.join(here, "tests", "fixtures", "datatest.npz"))
@@ -90,47 +161,50 @@ def main():
 
     data = df.DataArrays.make(x, theta, rng=0)
     ks = jax.random.split(jax.random.key(0), 3)
-    chain = df.flow_chain(
-        df.coupling_layer(data, [0, 1, 2], hidden_dim_s=16, hidden_dim_t=16, key=ks[0]),
-        df.coupling_layer(data, [2, 3, 4], hidden_dim_s=16, hidden_dim_t=16, key=ks[1]),
-        df.coupling_layer(data, [4, 0, 1], hidden_dim_s=16, hidden_dim_t=16, key=ks[2]),
-        df.normalization_layer(x, -1.0, 1.0),
-    )
-    flow = df.Flow(chain, data)
 
-    epochs = 50
+    def build_flow():
+        chain = df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], hidden_dim_s=16,
+                              hidden_dim_t=16, key=ks[0]),
+            df.coupling_layer(data, [2, 3, 4], hidden_dim_s=16,
+                              hidden_dim_t=16, key=ks[1]),
+            df.coupling_layer(data, [4, 0, 1], hidden_dim_s=16,
+                              hidden_dim_t=16, key=ks[2]),
+            df.normalization_layer(x, -1.0, 1.0),
+        )
+        return df.Flow(chain, data)
+
     n_train = len(data.partition.training)
 
-    # warmup: compile THE SAME fused 50-epoch program the timed run uses
-    # (epochs is a static program parameter), then reset the flow state
-    import copy
+    # two-point training rate: whole-run programs at 10 and 50 epochs
+    # (each is ONE fused device program; the time difference is pure
+    # device compute for 40 epochs). Warm both programs first.
+    for epochs in (EPOCHS_LO, EPOCHS_HI):
+        df.train(build_flow(), data, epochs=epochs, verbose=False,
+                 key=jax.random.key(1))
+    diffs = []
+    for _ in range(REPS):
+        f_lo, f_hi = build_flow(), build_flow()
+        t0 = time.perf_counter()
+        df.train(f_lo, data, epochs=EPOCHS_LO, verbose=False,
+                 key=jax.random.key(2))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        df.train(f_hi, data, epochs=EPOCHS_HI, verbose=False,
+                 key=jax.random.key(2))
+        t_hi = time.perf_counter() - t0
+        diffs.append((t_hi - t_lo) / (EPOCHS_HI - EPOCHS_LO))
+    train_sps = n_train / float(np.median(diffs))
 
-    warm_flow = df.Flow(copy.deepcopy(chain), data)
-    df.train(warm_flow, data, epochs=epochs, verbose=False, key=jax.random.key(1))
-    # timed fused training run (compile excluded — throughput, not startup)
-    t0 = time.perf_counter()
-    df.train(flow, data, epochs=epochs, verbose=False, key=jax.random.key(2))
-    # train() blocks on host conversion of the loss histories
-    train_time = time.perf_counter() - t0
-    train_sps = epochs * n_train / train_time
+    # correctness contract: final NLL after the reference's 50 epochs
+    flow = build_flow()
+    df.train(flow, data, epochs=50, verbose=False, key=jax.random.key(1))
     final_nll = flow.train_loss[-1]
 
-    # sampling draws/s (donated-buffer jitted sweep, excl. compile)
-    n_draws = 1 << 20
-    theta_n = flow.prepare_theta((-1.0,), (n_draws,))
-    base_draw = lambda k: flow.base.sample(k, (n_draws,))
-    r = base_draw(jax.random.key(3))
-    _sample_program(flow.model, None, r, theta_n).block_until_ready()  # compile
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        r = base_draw(jax.random.key(10 + i))
-        out = _sample_program(flow.model, None, r, theta_n)
-    out.block_until_ready()
-    sample_dps = iters * n_draws / (time.perf_counter() - t0)
+    # sampling draws/s (scanned two-point sweep over the trained flow)
+    sample_dps = _sample_rate(flow, 1 << 20, (-1.0,))
 
-    # flagship wide config (BASELINE.json config 3): 32-D, 8 conditions,
-    # hidden-256 conditioners, 4 blocks — MXU-bound, fused-kernel territory
+    # flagship wide config (BASELINE.json config 3)
     wide = _bench_wide(jax, jnp, df)
 
     value = train_sps
@@ -163,6 +237,7 @@ def main():
                 "sample_draws_per_sec": round(sample_dps, 1),
                 "wide_train_samples_per_sec": round(wide["train_sps"], 1),
                 "wide_sample_draws_per_sec": round(wide["sample_dps"], 1),
+                "timing": "two-point dispatch-cancelled (docs/design.md §3)",
                 "device": str(jax.devices()[0]),
             }
         )
