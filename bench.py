@@ -103,7 +103,9 @@ def _bench_wide(jax, jnp, df):
     )
     base = df.StandardNormal(d)
     optimizer = optax.adam(1e-3)
-    step = make_train_step(optimizer)
+    # mixed precision: bf16 conditioner MXU passes, f32 master state —
+    # the fastest supported train mode at this config (README §Performance)
+    step = make_train_step(optimizer, mixed_precision=True)
 
     x = jnp.asarray(rng.normal(size=(batch, d)).astype(np.float32))
     theta = jnp.asarray(

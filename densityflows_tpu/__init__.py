@@ -37,6 +37,7 @@ from .models.layers import (
     NICECouplingLayer,
     RNVPCouplingLayer,
     RQSCouplingLayer,
+    cast_conditioners,
     coupling_layer,
     set_fused_kernels,
 )
@@ -110,7 +111,7 @@ __all__ = [
     "rnvp_forward", "rnvp_backward", "nice_forward", "nice_backward",
     # models
     "RNVPCouplingLayer", "NICECouplingLayer", "RQSCouplingLayer",
-    "coupling_layer", "set_fused_kernels",
+    "coupling_layer", "set_fused_kernels", "cast_conditioners",
     "NormalizationLayer", "normalization_layer",
     "PermutationLayer", "permutation_layer",
     "MAFLayer", "maf_layer", "IAFLayer", "iaf_layer",

@@ -39,7 +39,36 @@ from ..ops import coupling as C
 __all__ = [
     "RNVPCouplingLayer", "NICECouplingLayer", "RQSCouplingLayer",
     "coupling_layer", "set_fused_kernels", "use_fused",
+    "cast_conditioners",
 ]
+
+
+def cast_conditioners(model, dtype=jnp.bfloat16):
+    """Cast conditioner-network parameters (every :class:`MLP` /
+    ``MaskedMLP`` subtree) to ``dtype``, leaving transform constants —
+    normalization/actnorm scales, LU factors, spline bounds — in their
+    original precision.
+
+    This is the mixed-precision compute cast: :func:`apply_mlp` runs its
+    matmuls in the *weights'* dtype with f32 MXU accumulation
+    (ops/mlp.py), so bf16 conditioners get native-bf16 MXU passes while
+    s/t/ldj and the loss stay f32 (SURVEY.md §7 "keep s/ldj accumulation
+    in f32"). Used inside the loss by ``train(mixed_precision=True)`` so
+    master params, grads, and optimizer state remain f32.
+    """
+    from ..ops.made import MaskedMLP
+
+    def cast_net(net):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(jnp.result_type(a), jnp.floating) else a,
+            net,
+        )
+
+    is_net = lambda n: isinstance(n, (MLP, MaskedMLP))
+    return jax.tree_util.tree_map(
+        lambda n: cast_net(n) if is_net(n) else n, model, is_leaf=is_net
+    )
 
 # Fused-Pallas policy. Measured on v5e with two-point scan timing
 # (dispatch-cancelled; benchmarks/wide_config.py,

@@ -47,7 +47,8 @@ __all__ = [
 ]
 
 
-def masked_nll_loss(model, base, x, theta, mask, *, remat: bool = False):
+def masked_nll_loss(model, base, x, theta, mask, *, remat: bool = False,
+                    mixed_precision: bool = False):
     """NLL over valid rows only; ``mask`` zeroes padded rows so partial
     batches keep a static shape (loss semantics: src/Flows.jl:352-359).
 
@@ -55,7 +56,17 @@ def masked_nll_loss(model, base, x, theta, mask, *, remat: bool = False):
     the backward pass recomputes activations per layer instead of
     storing the whole chain's — O(1) activation memory in chain depth,
     the standard FLOPs-for-HBM trade for deep chains / huge batches.
+
+    ``mixed_precision=True`` casts conditioner-MLP weights to bf16
+    *inside* the loss (master params stay f32, grads come back f32
+    through the cast), so the conditioner matmuls run as native-bf16
+    MXU passes with f32 accumulation while transform constants, s/t
+    outputs, ldj, and the loss stay f32.
     """
+    if mixed_precision:
+        from .models.layers import cast_conditioners
+
+        model = cast_conditioners(model, jnp.bfloat16)
     if remat:
         from .models.chains import FlowChain
 
@@ -85,18 +96,22 @@ def _eval_nll(model, base, x, theta):
     return -jnp.mean(base.log_prob(z) + ldj)
 
 
-def make_train_step(optimizer, *, remat: bool = False):
+def make_train_step(optimizer, *, remat: bool = False,
+                    mixed_precision: bool = False):
     """Single-batch fused step (loss + grad + update, donated state).
 
     The streaming alternative to :func:`make_train_program` for callers
     that feed batches from their own pipeline. ``remat=True`` enables
-    per-layer rematerialization (see :func:`masked_nll_loss`).
+    per-layer rematerialization; ``mixed_precision=True`` runs the
+    conditioner matmuls in bf16 with f32 master params/grads/optimizer
+    state (see :func:`masked_nll_loss`).
     """
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(model, opt_state, base, x, theta, mask):
         loss, grads = jax.value_and_grad(
-            partial(masked_nll_loss, remat=remat)
+            partial(masked_nll_loss, remat=remat,
+                    mixed_precision=mixed_precision)
         )(model, base, x, theta, mask)
         updates, opt_state = optimizer.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
@@ -136,6 +151,7 @@ def make_train_program(
     batch_sharding=None,
     pure: bool = False,
     remat: bool = False,
+    mixed_precision: bool = False,
 ):
     """Build (and cache) the fused multi-epoch training program.
 
@@ -151,10 +167,13 @@ def make_train_program(
     src/Flows.jl:419-437).
     """
     cache_key = (id(optimizer), batchsize, epochs, shuffle, n_train, n_valid,
-                 batch_sharding, pure, remat)
+                 batch_sharding, pure, remat, mixed_precision)
     if cache_key in _PROGRAM_CACHE:
         return _PROGRAM_CACHE[cache_key]
-    loss_fn = partial(masked_nll_loss, remat=remat)
+    # epoch bookkeeping evals stay f32 even under mixed precision: loss
+    # histories are the correctness record (src/Flows.jl:419-437)
+    loss_fn = partial(masked_nll_loss, remat=remat,
+                      mixed_precision=mixed_precision)
 
     def train_program_pure(model, opt_state, base, x, theta, x_valid, theta_valid, key):
         n = x.shape[0] if n_train is None else n_train
@@ -215,7 +234,7 @@ def make_train_program(
 def _train_with_checkpoints(
     flow, data, optimizer, opt_state, *, epochs, batchsize, shuffle,
     verbose, key, mesh, debug, checkpoint_dir, checkpoint_every, resume,
-    metrics_log=None,
+    metrics_log=None, remat=False, mixed_precision=False,
 ):
     """Chunked fused-program training with checkpoint-restart recovery.
 
@@ -256,7 +275,8 @@ def _train_with_checkpoints(
             flow, data, optimizer, opt_state,
             epochs=chunk, batchsize=batchsize, shuffle=shuffle,
             verbose=verbose, key=chunk_key, mesh=mesh, debug=debug,
-            metrics_log=metrics_log,
+            metrics_log=metrics_log, remat=remat,
+            mixed_precision=mixed_precision,
         )
         done += chunk
         save_flow(checkpoint_dir, flow, opt_state, erase=True)
@@ -266,7 +286,7 @@ def _train_with_checkpoints(
 def _train_early_stopping(
     flow, data, optimizer, opt_state, *, epochs, batchsize, shuffle,
     verbose, key, mesh, debug, patience, min_delta, check_every,
-    restore_best, metrics_log,
+    restore_best, metrics_log, remat=False, mixed_precision=False,
 ):
     """Chunked fused-program training with validation-based early stopping.
 
@@ -293,7 +313,8 @@ def _train_early_stopping(
             flow, data, optimizer, opt_state,
             epochs=chunk, batchsize=batchsize, shuffle=shuffle,
             verbose=verbose, key=chunk_key, mesh=mesh, debug=debug,
-            metrics_log=metrics_log,
+            metrics_log=metrics_log, remat=remat,
+            mixed_precision=mixed_precision,
         )
         done += chunk
         tail = flow.valid_loss[-chunk:]
@@ -392,6 +413,7 @@ def train(
     early_stopping_check_every: int | None = None,
     restore_best: bool = True,
     remat: bool = False,
+    mixed_precision: bool = False,
 ):
     """Train the flow by NLL (reference ``train!``, src/Flows.jl:380-445).
 
@@ -409,6 +431,12 @@ def train(
     ``remat=True`` rematerializes per-layer activations in the backward
     pass (``jax.checkpoint``) — O(1) activation memory in chain depth,
     for deep chains or batches that would otherwise exhaust HBM.
+
+    ``mixed_precision=True`` runs the conditioner-MLP matmuls in bf16
+    (native-bf16 MXU passes, f32 accumulation) while master params,
+    grads, optimizer state, per-epoch loss evals, s/t/ldj, and the loss
+    all stay f32 — measured ~13% faster wide-config train steps at
+    matched convergence (README §Performance).
 
     Early stopping (no reference counterpart): set
     ``early_stopping_patience=p`` to stop once the validation NLL hasn't
@@ -434,6 +462,7 @@ def train(
             check_every=(early_stopping_check_every
                          or min(early_stopping_patience, 10)),
             restore_best=restore_best, metrics_log=metrics_log,
+            remat=remat, mixed_precision=mixed_precision,
         )
     if checkpoint_dir is not None:
         return _train_with_checkpoints(
@@ -443,6 +472,7 @@ def train(
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, resume=resume,
             metrics_log=metrics_log,
+            remat=remat, mixed_precision=mixed_precision,
         )
     if optimizer is None:
         optimizer = _default_adam()
@@ -486,7 +516,7 @@ def train(
     program = make_train_program(
         optimizer, batchsize, epochs, shuffle,
         n_train=n_train, n_valid=n_valid, batch_sharding=batch_sharding,
-        remat=remat,
+        remat=remat, mixed_precision=mixed_precision,
     )
     import time as _time
 
