@@ -85,6 +85,8 @@ def _coupling_entry(layer, dirn):
       ``y = x·exp(s_full) + t_full`` is then the whole coupling.
     """
     if isinstance(layer, RNVPCouplingLayer):
+        if layer.max_log_scale:
+            raise _Unsupported  # tanh-clamped s: jnp path only
         kind, nets = "nvp", (layer.s_net, layer.t_net)
     else:
         kind, nets = "nice", (None, layer.t_net)

@@ -163,14 +163,26 @@ class RNVPCouplingLayer:
     s_net: MLP
     t_net: MLP
     axes: CouplingAxes = dataclasses.field(metadata=dict(static=True))
+    # 0.0 = unbounded (the reference's exact semantics); > 0 soft-clamps
+    # the log-scale to (−M, M) via M·tanh(s/M) — the Glow-style guard
+    # against the exp(s) overflow→NaN cascade on out-of-distribution
+    # inputs (SURVEY.md §7 numerics; reference mitigation is only the
+    # trailing NormalizationLayer, docs/src/documentation.md:61)
+    max_log_scale: float = dataclasses.field(
+        metadata=dict(static=True), default=0.0)
 
     def _can_fuse(self, y):
-        return _can_fuse_impl(self, y)
+        # the fused kernels implement the unbounded reference math only
+        return _can_fuse_impl(self, y) and not self.max_log_scale
 
     def _conditioner(self, y, theta):
         y_id, y_af = C.split_features(y, self.axes)
         h = C.nn_input(y_id, theta)
-        return y_id, y_af, apply_mlp(self.s_net, h), apply_mlp(self.t_net, h)
+        s = apply_mlp(self.s_net, h)
+        if self.max_log_scale:
+            m = self.max_log_scale
+            s = m * jnp.tanh(s / m)
+        return y_id, y_af, s, apply_mlp(self.t_net, h)
 
     def _fused(self, y, theta, direction, with_ldj):
         """Fused-Pallas path: one VMEM-resident kernel for conditioner MLPs
@@ -358,6 +370,7 @@ def coupling_layer(
     n_bins: int = 8,
     bound: float = 3.0,
     zero_init_final: bool = True,
+    max_log_scale: float = 0.0,
 ):
     """Build a coupling layer with default conditioner MLPs.
 
@@ -381,6 +394,14 @@ def coupling_layer(
     step (its 5-D examples never hit this); identity-at-init is the
     standard RealNVP/Glow stabilization. Pass ``False`` for the
     reference's exact init.
+
+    ``max_log_scale`` (RNVP only, default 0 = off, reference semantics):
+    when > 0, soft-clamps the log-scale to (−M, M) via ``M·tanh(s/M)``
+    so out-of-distribution inputs yield very negative (finite) log-probs
+    instead of the exp(s) overflow→NaN cascade. Near-identity within
+    |s| ≲ M/2, so in-distribution densities are unchanged. Clamped
+    layers take the jnp path (the fused kernels implement the exact
+    reference math).
     """
     from ..data import DataArrays  # local import to avoid a cycle
 
@@ -419,4 +440,4 @@ def coupling_layer(
         hidden_dim=hidden_dim_s, activation=activation_s, bias=bias, dtype=dtype,
         zero_final=zero_init_final,
     )
-    return RNVPCouplingLayer(s_net, t_net, axes)
+    return RNVPCouplingLayer(s_net, t_net, axes, float(max_log_scale))

@@ -115,6 +115,7 @@ def element_spec(el) -> dict:
             "s_net": element_spec(el.s_net),
             "t_net": element_spec(el.t_net),
             "axes": _axes_spec(el.axes),
+            "max_log_scale": float(el.max_log_scale),
         }
     if isinstance(el, NICECouplingLayer):
         return {
@@ -229,6 +230,7 @@ def element_from_spec(spec: dict):
             element_from_spec(spec["s_net"]),
             element_from_spec(spec["t_net"]),
             _axes_from_spec(spec["axes"]),
+            float(spec.get("max_log_scale", 0.0)),  # pre-field ckpts
         )
     if t == "NICECouplingLayer":
         return NICECouplingLayer(

@@ -129,3 +129,63 @@ def test_bf16_activations_fp32_ldj():
     err = jnp.max(jnp.abs(x2.astype(jnp.float32) - x.astype(jnp.float32)))
     assert float(err) < 0.1  # bf16 mantissa
     np.testing.assert_allclose(np.asarray(ldj_b + ldj_f), 0.0, atol=1e-5)
+
+
+# ---- bounded log-scale (max_log_scale, Glow-style OOD guard) ----------
+
+
+def test_max_log_scale_roundtrip_and_ldj():
+    layer = df.coupling_layer(5, 2, n=1, key=jax.random.key(3),
+                              max_log_scale=2.0, zero_init_final=False)
+    z1 = jnp.asarray(np.random.default_rng(0).normal(
+        size=(16, 5)).astype(np.float32))
+    th = jnp.asarray(0.3 * np.ones((16, 1), np.float32))
+    x, ldj_f = layer.forward(z1, th)
+    z2, ldj_b = layer.inverse(x, th)
+    np.testing.assert_allclose(z1, z2, atol=1e-5)
+    np.testing.assert_allclose(ldj_f + ldj_b, 0.0, atol=1e-5)
+    # ldj respects the bound: |sum(s)| <= M * transform_dim
+    assert float(jnp.max(jnp.abs(ldj_f))) <= 2.0 * layer.axes.transform_dim
+
+
+def test_max_log_scale_is_near_identity_in_distribution():
+    # for small conditioner outputs, tanh-clamped == unclamped
+    kw = dict(n=1, key=jax.random.key(4), zero_init_final=False)
+    plain = df.coupling_layer(5, 2, **kw)
+    clamped = df.coupling_layer(5, 2, max_log_scale=8.0, **kw)
+    z = jnp.asarray(0.1 * np.ones((8, 5), np.float32))
+    th = jnp.asarray(0.2 * np.ones((8, 1), np.float32))
+    x0, l0 = plain.forward(z, th)
+    x1, l1 = clamped.forward(z, th)
+    np.testing.assert_allclose(x0, x1, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(l0, l1, rtol=1e-3, atol=1e-4)
+
+
+def test_max_log_scale_bounds_ood_blowup():
+    # deep clamped chain on wildly out-of-distribution inputs: ldj is
+    # bounded and the inverse can't NaN through exp(s) overflow
+    ks = jax.random.split(jax.random.key(5), 6)
+    layers = [df.coupling_layer(4, [i % 4, (i + 1) % 4], key=k,
+                                max_log_scale=3.0, zero_init_final=False)
+              for i, k in enumerate(ks)]
+    chain = df.flow_chain(*layers)
+    x = jnp.asarray(np.float32(50.0) * np.ones((4, 4)))
+    th = jnp.zeros((4, 0), jnp.float32)
+    z, ldj = chain.inverse(x, th)
+    assert bool(jnp.all(jnp.isfinite(ldj)))
+    assert float(jnp.max(jnp.abs(ldj))) <= 3.0 * 2 * len(layers)
+
+
+def test_max_log_scale_checkpoint_roundtrip(tmp_path):
+    from densityflows_tpu.utils.checkpoint import (
+        load_element, save_element)
+
+    layer = df.coupling_layer(5, 2, n=1, key=jax.random.key(6),
+                              max_log_scale=1.5)
+    save_element(str(tmp_path / "layer"), layer)
+    back = load_element(str(tmp_path / "layer"))
+    assert back.max_log_scale == 1.5
+    z = jnp.asarray(np.ones((4, 5), np.float32))
+    th = jnp.asarray(np.ones((4, 1), np.float32))
+    np.testing.assert_allclose(layer.forward(z, th)[0],
+                               back.forward(z, th)[0], atol=1e-6)
