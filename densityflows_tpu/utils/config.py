@@ -31,6 +31,9 @@ class NetConfig:
     activation_s: str = "relu"
     activation_t: str = "relu"
     bias: bool = True
+    # 0.0 = reference semantics; > 0 tanh-clamps the RNVP log-scale
+    # (models/layers.py max_log_scale) — ignored by other families
+    max_log_scale: float = 0.0
 
     def layer_kwargs(self) -> dict:
         return dataclasses.asdict(self)
@@ -53,6 +56,8 @@ class TrainConfig:
     shuffle: bool = True
     verbose: bool = True
     learning_rate: float = 1e-3
+    mixed_precision: bool = False  # bf16 conditioner compute, f32 state
+    remat: bool = False            # per-layer activation rematerialization
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,5 +181,7 @@ def run_experiment(config: FlowConfig, x, theta=None, *, key=None, mesh=None):
         verbose=config.train.verbose,
         key=k_train,
         mesh=mesh,
+        mixed_precision=config.train.mixed_precision,
+        remat=config.train.remat,
     )
     return flow, data, opt_state

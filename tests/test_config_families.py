@@ -87,3 +87,28 @@ def test_config_validation():
         df.build_flow(_cfg(mix="conv"), df.DataArrays.make(_x(), rng=0))
     with pytest.raises(ValueError):
         df.build_flow(_cfg(tail="batchnorm"), df.DataArrays.make(_x(), rng=0))
+
+
+def test_config_mixed_precision_and_max_log_scale():
+    x = _x()
+    cfg = df.FlowConfig(
+        net=df.NetConfig(hidden_dim_s=8, hidden_dim_t=8, max_log_scale=3.0),
+        train=df.TrainConfig(epochs=2, verbose=False, mixed_precision=True,
+                             remat=True),
+        n_blocks=2,
+    )
+    flow, data, opt_state = df.run_experiment(cfg, x, key=jax.random.key(0))
+    assert np.all(np.isfinite(flow.train_loss))
+    # the clamp propagated to every RNVP layer in the built chain
+    from densityflows_tpu.models.blocks import CouplingBlock
+
+    for el in flow.model.layers:
+        if isinstance(el, CouplingBlock):
+            assert el.layer_1.max_log_scale == 3.0
+            assert el.layer_2.max_log_scale == 3.0
+    # mixed precision kept master params f32
+    import jax.numpy as jnp
+
+    for a in jax.tree_util.tree_leaves(flow.model):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            assert a.dtype == jnp.float32
