@@ -179,60 +179,26 @@ def fit_posterior(
     SNPE round 1: train on simulator pairs (θᵢ ~ prior, xᵢ ~ sim(θᵢ));
     the flow's *data* axis models θ and its *condition* axis models x.
     Pass ``weights = prior(θᵢ)/proposal(θᵢ)`` when θ was drawn from a
-    proposal instead of the prior (SNPE-B importance correction). With no
-    weights this delegates to the fused multi-epoch program in ``train``.
+    proposal instead of the prior (SNPE-B importance correction). Both
+    paths run the SAME fused multi-epoch program in ``train`` (weights
+    thread through as a generalized loss mask), so weighted and
+    unweighted fits share the program cache and both keep the
+    reference's full-split per-epoch loss histories — the weighted
+    histories are weighted NLLs.
 
     No reference counterpart — capability addition per SURVEY.md §2.2.
     """
     from .data import DataArrays
-    from .train import train, _default_adam
+    from .train import train
 
     theta_samples = np.asarray(theta_samples, np.float32)
     x_observations = np.asarray(x_observations, np.float32)
     data = DataArrays.make(theta_samples, x_observations, rng=0)
 
-    if weights is None:
-        return train(
-            flow, data, optimizer, epochs=epochs, batchsize=batchsize,
-            key=key, mesh=mesh, verbose=verbose,
-        )
-
-    # weighted path: per-batch weighted steps (host batcher, jitted step).
-    # History bookkeeping: appends the LAST batch's weighted loss per
-    # epoch (cheaper than a full-split weighted eval; the unweighted path
-    # keeps the reference's full-split per-epoch histories).
-    if optimizer is None:
-        optimizer = _default_adam()
-    if key is None:
-        key = jax.random.key(0)
-    w = np.asarray(weights, np.float32)
-    xt, tht = data.normalized_training_data(flow.metadata)
-    idx_all = np.asarray(data.partition.training)
-    wt = w[idx_all]
-    step = make_weighted_train_step(optimizer)
-    model = flow.model
-    opt_state = optimizer.init(model)
-    n = xt.shape[0]
-    rng = np.random.default_rng(0)
-    for epoch in range(epochs):
-        order = rng.permutation(n)
-        for start in range(0, n, batchsize):
-            sl = order[start : start + batchsize]
-            if len(sl) < batchsize:  # static shapes: pad with zero weight
-                pad = np.zeros(batchsize - len(sl), sl.dtype)
-                wb = np.concatenate([wt[sl], np.zeros(batchsize - len(sl), np.float32)])
-                sl = np.concatenate([sl, pad])
-            else:
-                wb = wt[sl]
-            model, opt_state, loss = step(
-                model, opt_state, flow.base,
-                jnp.asarray(xt[sl]), jnp.asarray(tht[sl]), jnp.asarray(wb),
-            )
-        flow.train_loss.append(float(loss))
-        if verbose:
-            print(f"epoch {epoch + 1} | weighted NLL = {float(loss)}")
-    flow.model = model
-    return opt_state
+    return train(
+        flow, data, optimizer, epochs=epochs, batchsize=batchsize,
+        key=key, mesh=mesh, verbose=verbose, weights=weights,
+    )
 
 
 def fit_posterior_rounds(

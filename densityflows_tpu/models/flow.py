@@ -107,6 +107,9 @@ class Flow:
         self.base = base if base is not None else StandardNormal(metadata.d)
         self.train_loss: list[float] = list(train_loss or [])
         self.valid_loss: list[float] = list(valid_loss or [])
+        # per-epoch counts of batch updates skipped as non-finite
+        # (populated by train(skip_nonfinite=True))
+        self.skipped_updates: list[int] = []
         # device-resident θ bounds for boundary normalization
         self._theta_min = jnp.asarray(metadata.theta_min)
         self._theta_max = jnp.asarray(metadata.theta_max)

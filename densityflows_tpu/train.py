@@ -52,6 +52,11 @@ def masked_nll_loss(model, base, x, theta, mask, *, remat: bool = False,
     """NLL over valid rows only; ``mask`` zeroes padded rows so partial
     batches keep a static shape (loss semantics: src/Flows.jl:352-359).
 
+    ``mask`` generalizes to per-row importance WEIGHTS: the loss is
+    −Σ mᵢ·log p(xᵢ|θᵢ) / Σ mᵢ, so non-0/1 masks give the SNPE-B
+    importance-weighted NLL (``inference.weighted_nll_loss``) and the
+    all-ones mask reduces to the reference loss exactly.
+
     ``remat=True`` wraps each layer's inverse in ``jax.checkpoint`` so
     the backward pass recomputes activations per layer instead of
     storing the whole chain's — O(1) activation memory in chain depth,
@@ -141,6 +146,18 @@ def _row_mask(n_rows_padded: int, n_valid: int):
     return (row < n_valid).astype(jnp.float32)
 
 
+def _tree_select(pred, a, b):
+    """Per-leaf ``jnp.where(pred, a, b)`` over matching pytrees."""
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _all_finite(loss, grads):
+    ok = jnp.isfinite(loss)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
+    return ok
+
+
 def make_train_program(
     optimizer,
     batchsize: int,
@@ -152,6 +169,9 @@ def make_train_program(
     pure: bool = False,
     remat: bool = False,
     mixed_precision: bool = False,
+    weighted: bool = False,
+    track_best: bool = False,
+    guard_nonfinite: bool = False,
 ):
     """Build (and cache) the fused multi-epoch training program.
 
@@ -164,10 +184,26 @@ def make_train_program(
     Returns ``fn(model, opt_state, base, x, theta, x_valid, theta_valid,
     key) -> (model, opt_state, train_losses, valid_losses)`` where the
     losses are per-epoch full-split NLLs (reference epoch bookkeeping,
-    src/Flows.jl:419-437).
+    src/Flows.jl:419-437). Opt-in extensions:
+
+    - ``weighted=True``: the program takes per-row importance weights —
+      ``fn(model, opt_state, base, x, theta, w, x_valid, theta_valid,
+      w_valid, key)`` — and every batch loss AND both full-split epoch
+      evals become the SNPE-B weighted NLL (−Σwᵢ·log pᵢ / Σwᵢ). Uniform
+      weights reproduce the unweighted program bit-for-bit.
+    - ``track_best=True``: appends ``best_model`` to the outputs — the
+      exact parameter pytree at the epoch with the lowest validation NLL,
+      carried through the epoch scan with a per-leaf ``jnp.where`` select
+      (exact best-epoch restore, independent of host chunking).
+    - ``guard_nonfinite=True``: appends ``skips`` (per-epoch int32 counts)
+      — each batch update is applied only if the loss and every gradient
+      leaf are finite; non-finite steps leave params/optimizer state
+      untouched and are counted (fused-program analogue of the
+      reference's per-batch debug hooks, src/Flows.jl:405-409).
     """
     cache_key = (id(optimizer), batchsize, epochs, shuffle, n_train, n_valid,
-                 batch_sharding, pure, remat, mixed_precision)
+                 batch_sharding, pure, remat, mixed_precision, weighted,
+                 track_best, guard_nonfinite)
     if cache_key in _PROGRAM_CACHE:
         return _PROGRAM_CACHE[cache_key]
     # epoch bookkeeping evals stay f32 even under mixed precision: loss
@@ -175,14 +211,18 @@ def make_train_program(
     loss_fn = partial(masked_nll_loss, remat=remat,
                       mixed_precision=mixed_precision)
 
-    def train_program_pure(model, opt_state, base, x, theta, x_valid, theta_valid, key):
+    def body(model, opt_state, base, x, theta, w, x_valid, theta_valid,
+             w_valid, key):
         n = x.shape[0] if n_train is None else n_train
         nv = x_valid.shape[0] if n_valid is None else n_valid
         n_batches = -(-n // batchsize)
         n_pad = n_batches * batchsize
-        mask = _row_mask(n_pad, n).reshape(n_batches, batchsize)
+        pad_mask = _row_mask(n_pad, n).reshape(n_batches, batchsize)
         train_row_mask = _row_mask(x.shape[0], n)
         valid_row_mask = _row_mask(x_valid.shape[0], nv)
+        if weighted:
+            train_row_mask = train_row_mask * w
+            valid_row_mask = valid_row_mask * w_valid
 
         def constrain(a):
             if batch_sharding is not None:
@@ -190,7 +230,7 @@ def make_train_program(
             return a
 
         def epoch_body(carry, ekey):
-            model, opt_state = carry
+            model, opt_state, best_vl, best_model = carry
             if shuffle:
                 perm = jax.random.permutation(ekey, n).astype(jnp.int32)
             else:
@@ -201,25 +241,57 @@ def make_train_program(
             def batch_body(carry, im):
                 model, opt_state = carry
                 i, m = im
+                if weighted:
+                    m = m * w[i]
                 loss, grads = jax.value_and_grad(loss_fn)(
                     model, base, constrain(x[i]), constrain(theta[i]), m
                 )
-                updates, opt_state = optimizer.update(grads, opt_state, model)
-                model = optax.apply_updates(model, updates)
-                return (model, opt_state), loss
+                if guard_nonfinite:
+                    ok = _all_finite(loss, grads)
+                    updates, new_opt = optimizer.update(grads, opt_state, model)
+                    new_model = optax.apply_updates(model, updates)
+                    model = _tree_select(ok, new_model, model)
+                    opt_state = _tree_select(ok, new_opt, opt_state)
+                    skip = 1 - ok.astype(jnp.int32)
+                else:
+                    updates, opt_state = optimizer.update(grads, opt_state, model)
+                    model = optax.apply_updates(model, updates)
+                    skip = jnp.int32(0)
+                return (model, opt_state), skip
 
-            (model, opt_state), _ = jax.lax.scan(
-                batch_body, (model, opt_state), (idx, mask)
+            (model, opt_state), skips = jax.lax.scan(
+                batch_body, (model, opt_state), (idx, pad_mask)
             )
             tl = masked_nll_loss(model, base, x, theta, train_row_mask)
             vl = masked_nll_loss(model, base, x_valid, theta_valid, valid_row_mask)
-            return (model, opt_state), (tl, vl)
+            if track_best:
+                better = vl < best_vl
+                best_vl = jnp.where(better, vl, best_vl)
+                best_model = _tree_select(better, model, best_model)
+            return (model, opt_state, best_vl, best_model), (tl, vl, jnp.sum(skips))
 
         keys = jax.random.split(key, epochs)
-        (model, opt_state), (tls, vls) = jax.lax.scan(
-            epoch_body, (model, opt_state), keys
+        best0 = jax.tree_util.tree_map(jnp.asarray, model) if track_best else 0
+        (model, opt_state, _, best_model), (tls, vls, skips) = jax.lax.scan(
+            epoch_body, (model, opt_state, jnp.float32(jnp.inf), best0), keys
         )
-        return model, opt_state, tls, vls
+        out = [model, opt_state, tls, vls]
+        if track_best:
+            out.append(best_model)
+        if guard_nonfinite:
+            out.append(skips)
+        return tuple(out)
+
+    if weighted:
+        def train_program_pure(model, opt_state, base, x, theta, w,
+                               x_valid, theta_valid, w_valid, key):
+            return body(model, opt_state, base, x, theta, w,
+                        x_valid, theta_valid, w_valid, key)
+    else:
+        def train_program_pure(model, opt_state, base, x, theta,
+                               x_valid, theta_valid, key):
+            return body(model, opt_state, base, x, theta, None,
+                        x_valid, theta_valid, None, key)
 
     if pure:
         # unjitted body, for callers that wrap the program in their own
@@ -235,6 +307,7 @@ def _train_with_checkpoints(
     flow, data, optimizer, opt_state, *, epochs, batchsize, shuffle,
     verbose, key, mesh, debug, checkpoint_dir, checkpoint_every, resume,
     metrics_log=None, remat=False, mixed_precision=False,
+    weights=None, skip_nonfinite=False,
 ):
     """Chunked fused-program training with checkpoint-restart recovery.
 
@@ -277,6 +350,7 @@ def _train_with_checkpoints(
             verbose=verbose, key=chunk_key, mesh=mesh, debug=debug,
             metrics_log=metrics_log, remat=remat,
             mixed_precision=mixed_precision,
+            weights=weights, skip_nonfinite=skip_nonfinite,
         )
         done += chunk
         save_flow(checkpoint_dir, flow, opt_state, erase=True)
@@ -287,6 +361,7 @@ def _train_early_stopping(
     flow, data, optimizer, opt_state, *, epochs, batchsize, shuffle,
     verbose, key, mesh, debug, patience, min_delta, check_every,
     restore_best, metrics_log, remat=False, mixed_precision=False,
+    weights=None, skip_nonfinite=False,
 ):
     """Chunked fused-program training with validation-based early stopping.
 
@@ -294,8 +369,10 @@ def _train_early_stopping(
     cache entry); between chunks the host inspects the validation-loss
     tail. Stops once the best valid NLL hasn't improved by ``min_delta``
     for ``patience`` consecutive epochs; with ``restore_best`` the model
-    is rolled back to the best-epoch snapshot (device-copied, because the
-    next chunk donates the live buffers).
+    is rolled back to the EXACT best-epoch parameters — each chunk's
+    program carries (best_valid, best_params) through its epoch scan
+    (``track_best``), so the restore is epoch-exact regardless of
+    ``check_every``.
     """
     if optimizer is None:
         optimizer = _default_adam()
@@ -303,31 +380,33 @@ def _train_early_stopping(
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
 
     best = float("inf")
+    best_restore = float("inf")
     best_model = None
     best_epoch = 0
     done = 0
     while done < epochs:
         chunk = min(check_every, epochs - done)
         chunk_key = jax.random.fold_in(key, done)
-        opt_state = train(
+        res = train(
             flow, data, optimizer, opt_state,
             epochs=chunk, batchsize=batchsize, shuffle=shuffle,
             verbose=verbose, key=chunk_key, mesh=mesh, debug=debug,
             metrics_log=metrics_log, remat=remat,
             mixed_precision=mixed_precision,
+            weights=weights, skip_nonfinite=skip_nonfinite,
+            _track_best=restore_best,
         )
+        opt_state, chunk_best = res if restore_best else (res, None)
         done += chunk
         tail = flow.valid_loss[-chunk:]
-        improved = min(tail) < best - min_delta
-        if improved:
+        if restore_best and min(tail) < best_restore:
+            # chunk_best is the exact argmin-epoch pytree from the scan
+            best_restore = min(tail)
+            best_model = chunk_best
+        if min(tail) < best - min_delta:
             i_rel = int(np.argmin(tail))
             best = tail[i_rel]
             best_epoch = done - chunk + i_rel + 1
-            # snapshot at chunk end (close enough to the best epoch for
-            # check_every ≤ patience); device-copy so the next chunk's
-            # buffer donation can't delete it
-            if restore_best:
-                best_model = jax.tree_util.tree_map(jnp.copy, flow.model)
         no_improve_for = done - best_epoch
         if no_improve_for >= patience:
             if verbose:
@@ -391,6 +470,9 @@ def batch_iterator(
         yield x[idx], theta[idx], mask
 
 
+_DEBUG_CHUNK = 10
+
+
 def train(
     flow: Flow,
     data: DataArrays,
@@ -414,6 +496,9 @@ def train(
     restore_best: bool = True,
     remat: bool = False,
     mixed_precision: bool = False,
+    weights=None,
+    skip_nonfinite: bool = False,
+    _track_best: bool = False,
 ):
     """Train the flow by NLL (reference ``train!``, src/Flows.jl:380-445).
 
@@ -442,7 +527,21 @@ def train(
     ``early_stopping_patience=p`` to stop once the validation NLL hasn't
     improved by ``early_stopping_min_delta`` for ``p`` epochs (checked
     every ``early_stopping_check_every`` epochs, default ``min(p, 10)``);
-    ``restore_best`` rolls the model back to the best-validation snapshot.
+    ``restore_best`` rolls the model back to the exact best-validation
+    EPOCH's parameters (carried through the epoch scan on device).
+
+    ``weights`` (optional): per-row importance weights aligned with the
+    RAW ``data`` rows — batch losses and both per-epoch full-split evals
+    become the weighted NLL −Σwᵢ·log pᵢ / Σwᵢ (SNPE-B correction; the
+    uniform-weights case is bit-identical to the unweighted program).
+
+    ``skip_nonfinite=True``: each batch update is applied only when the
+    loss and all gradients are finite; non-finite steps leave the state
+    untouched and are counted in ``flow.skipped_updates`` (one entry per
+    epoch) — the in-program analogue of the reference's per-batch debug
+    hooks (src/Flows.jl:405-409). ``debug=True`` additionally chunks the
+    run into 10-epoch fused programs so a non-finite epoch loss raises
+    within ~10 epochs instead of after the whole run.
 
     Returns ``opt_state`` so training can be continued exactly (the
     reference loses optimizer state across save/load; we keep it).
@@ -463,6 +562,7 @@ def train(
                          or min(early_stopping_patience, 10)),
             restore_best=restore_best, metrics_log=metrics_log,
             remat=remat, mixed_precision=mixed_precision,
+            weights=weights, skip_nonfinite=skip_nonfinite,
         )
     if checkpoint_dir is not None:
         return _train_with_checkpoints(
@@ -473,15 +573,45 @@ def train(
             checkpoint_every=checkpoint_every, resume=resume,
             metrics_log=metrics_log,
             remat=remat, mixed_precision=mixed_precision,
+            weights=weights, skip_nonfinite=skip_nonfinite,
         )
     if optimizer is None:
         optimizer = _default_adam()
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
 
+    if debug and epochs > _DEBUG_CHUNK and not _track_best:
+        # chunked execution so a non-finite epoch loss raises within
+        # ~_DEBUG_CHUNK epochs, not after the whole fused run (reference
+        # per-batch debug hooks, src/Flows.jl:405-409)
+        done = 0
+        while done < epochs:
+            chunk = min(_DEBUG_CHUNK, epochs - done)
+            opt_state = train(
+                flow, data, optimizer, opt_state,
+                epochs=chunk, batchsize=batchsize, shuffle=shuffle,
+                verbose=verbose, key=jax.random.fold_in(key, done),
+                mesh=mesh, debug=True, metrics_log=metrics_log,
+                remat=remat, mixed_precision=mixed_precision,
+                weights=weights, skip_nonfinite=skip_nonfinite,
+            )
+            done += chunk
+        return opt_state
+
     x_train, th_train = data.normalized_training_data(flow.metadata)
     x_valid, th_valid = data.normalized_validation_data(flow.metadata)
     n_train, n_valid = x_train.shape[0], x_valid.shape[0]
+
+    w_train = w_valid = None
+    if weights is not None:
+        w = np.asarray(weights, np.float32).reshape(-1)
+        if w.shape[0] != data.x.shape[0]:
+            raise ValueError(
+                f"weights must have one entry per data row "
+                f"({data.x.shape[0]}), got {w.shape[0]}"
+            )
+        w_train = w[np.asarray(data.partition.training)]
+        w_valid = w[np.asarray(data.partition.validation)]
 
     batch_sharding = None
     if mesh is not None:
@@ -500,6 +630,8 @@ def train(
 
         x_train, th_train = pad_rows(x_train), pad_rows(th_train)
         x_valid, th_valid = pad_rows(x_valid), pad_rows(th_valid)
+        if weights is not None:
+            w_train, w_valid = pad_rows(w_train), pad_rows(w_valid)
 
     def put(arr):
         arr = jnp.asarray(np.ascontiguousarray(arr))
@@ -517,19 +649,33 @@ def train(
         optimizer, batchsize, epochs, shuffle,
         n_train=n_train, n_valid=n_valid, batch_sharding=batch_sharding,
         remat=remat, mixed_precision=mixed_precision,
+        weighted=weights is not None, track_best=_track_best,
+        guard_nonfinite=skip_nonfinite,
     )
     import time as _time
 
     t0 = _time.perf_counter()
-    model, opt_state, tls, vls = program(
-        model, opt_state, flow.base, xt, tht, xv, thv, key
-    )
+    if weights is not None:
+        out = program(
+            model, opt_state, flow.base, xt, tht, jnp.asarray(w_train),
+            xv, thv, jnp.asarray(w_valid), key,
+        )
+    else:
+        out = program(model, opt_state, flow.base, xt, tht, xv, thv, key)
+    model, opt_state, tls, vls = out[:4]
+    rest = list(out[4:])
+    best_model = rest.pop(0) if _track_best else None
+    skips = np.asarray(rest.pop(0)) if skip_nonfinite else None
     tls = np.asarray(tls)  # host fetch blocks on program completion
     vls = np.asarray(vls)
     elapsed = _time.perf_counter() - t0
     flow.model = model
     flow.train_loss.extend(float(v) for v in tls)
     flow.valid_loss.extend(float(v) for v in vls)
+    if skips is not None:
+        flow.skipped_updates.extend(int(v) for v in skips)
+        if verbose and skips.sum():
+            print(f"[skipped {int(skips.sum())} non-finite updates]")
 
     if metrics_log is not None:
         from .utils.logging import MetricsLogger
@@ -558,4 +704,6 @@ def train(
             f"[{elapsed:.2f}s incl. compile | {sps:,.0f} samples/s "
             f"| {sps / n_chips:,.0f} samples/s/chip]"
         )
+    if _track_best:
+        return opt_state, best_model
     return opt_state
