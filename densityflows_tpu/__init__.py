@@ -84,7 +84,7 @@ from .inference import (
 )
 from .utils.checkpoint import (
     save_flow, load_flow, save_element, load_element,
-    save_ensemble, load_ensemble,
+    save_ensemble, load_ensemble, register_element,
 )
 from .utils.config import (
     NetConfig, DataConfig, TrainConfig, FlowConfig, build_flow, run_experiment,
@@ -136,6 +136,7 @@ __all__ = [
     "summarize",
     # persistence
     "save_flow", "load_flow", "save_element", "load_element",
+    "register_element",
     "save_ensemble", "load_ensemble",
     # config
     "NetConfig", "DataConfig", "TrainConfig", "FlowConfig",

@@ -56,12 +56,76 @@ __all__ = [
     "load_element",
     "element_spec",
     "element_from_spec",
+    "register_element",
 ]
 
 _FORMAT_VERSION = 1
 
 
-# -- spec (structure without arrays) ---------------------------------------
+# -- extensible element registry --------------------------------------------
+
+_TO_SPEC: dict[type, tuple[str, object]] = {}
+_FROM_SPEC: dict[str, object] = {}
+
+
+def register_element(cls, to_spec, from_spec, *, name: str | None = None):
+    """Register a custom flow element for checkpointing.
+
+    The reference serializes ANY user struct by field reflection
+    (Loading.jl:124-186); here extensibility is explicit instead:
+
+    - ``to_spec(el) -> dict`` returns a JSON-able structural description
+      (no arrays — arrays travel separately in pytree-flatten order);
+    - ``from_spec(spec) -> element`` rebuilds a SKELETON with the right
+      pytree structure (leaf shapes/dtypes; values are overwritten).
+
+    ``name`` defaults to ``cls.__name__`` and is the ``"type"`` tag in
+    the spec. Built-in layers are registered through this same hook, so
+    a user-defined layer checkpoints exactly like a built-in::
+
+        register_element(MyLayer,
+                         lambda el: {"d": el.d},
+                         lambda s: MyLayer.init(s["d"]))
+        save_flow(dir, flow_containing_my_layer)
+    """
+    name = name or cls.__name__
+    _TO_SPEC[cls] = (name, to_spec)
+    _FROM_SPEC[name] = from_spec
+
+
+def element_spec(el) -> dict:
+    """JSON-able structural description of a flow element (the analogue of
+    the reference's ``save_element`` type/field encoding,
+    Loading.jl:124-173). Dispatches through the :func:`register_element`
+    registry (nearest class in the MRO wins)."""
+    for klass in type(el).__mro__:
+        entry = _TO_SPEC.get(klass)
+        if entry is not None:
+            name, fn = entry
+            spec = dict(fn(el))
+            spec["type"] = name
+            return spec
+    raise TypeError(
+        f"don't know how to checkpoint {type(el).__name__}; register it "
+        "with register_element(cls, to_spec, from_spec)"
+    )
+
+
+def element_from_spec(spec: dict):
+    """Rebuild a flow element skeleton (zero arrays) from its spec — the
+    analogue of the reference's ``load_element`` type resolution
+    (Loading.jl:176-307), without ``eval``/reflection."""
+    t = spec["type"]
+    fn = _FROM_SPEC.get(t)
+    if fn is None:
+        raise ValueError(
+            f"unknown element type in checkpoint: {t} (custom layers must "
+            "be register_element'd before loading)"
+        )
+    return fn(spec)
+
+
+# -- built-in registrations --------------------------------------------------
 
 def _axes_spec(axes: CouplingAxes) -> dict:
     return {
@@ -80,219 +144,200 @@ def _axes_from_spec(s: dict) -> CouplingAxes:
     )
 
 
-def element_spec(el) -> dict:
-    """JSON-able structural description of a flow element (the analogue of
-    the reference's ``save_element`` type/field encoding,
-    Loading.jl:124-173)."""
-    if isinstance(el, MLP):
-        return {
-            "type": "MLP",
-            "weight_shapes": [list(w.shape) for w in el.weights],
-            "bias_shapes": [list(b.shape) for b in el.biases],
-            "dtype": str(el.weights[0].dtype) if el.weights else "float32",
-            "activation": el.activation,
-        }
-    if isinstance(el, MaskedMLP):
-        return {
-            "type": "MaskedMLP",
-            "weight_shapes": [list(w.shape) for w in el.weights],
-            "bias_shapes": [list(b.shape) for b in el.biases],
-            "masks": [list(map(list, m)) for m in el.masks],
-            "dtype": str(el.weights[0].dtype),
-            "activation": el.activation,
-        }
-    if isinstance(el, (MAFLayer, IAFLayer)):
-        return {
-            "type": type(el).__name__,
-            "net": element_spec(el.net),
-            "d": int(el.d),
-            "n": int(el.n),
-            "max_log_scale": float(el.max_log_scale),
-        }
-    if isinstance(el, RNVPCouplingLayer):
-        return {
-            "type": "RNVPCouplingLayer",
-            "s_net": element_spec(el.s_net),
-            "t_net": element_spec(el.t_net),
-            "axes": _axes_spec(el.axes),
-            "max_log_scale": float(el.max_log_scale),
-        }
-    if isinstance(el, NICECouplingLayer):
-        return {
-            "type": "NICECouplingLayer",
-            "t_net": element_spec(el.t_net),
-            "axes": _axes_spec(el.axes),
-        }
-    if isinstance(el, RQSCouplingLayer):
-        return {
-            "type": "RQSCouplingLayer",
-            "p_net": element_spec(el.p_net),
-            "axes": _axes_spec(el.axes),
-            "n_bins": int(el.n_bins),
-            "bound": float(el.bound),
-        }
-    if isinstance(el, NormalizationLayer):
-        return {
-            "type": "NormalizationLayer",
-            "d": int(el.x_min.shape[0]),
-            "dtype": str(el.x_min.dtype),
-            "alpha": float(el.alpha),
-            "beta": float(el.beta),
-        }
-    if isinstance(el, PermutationLayer):
-        return {"type": "PermutationLayer", "perm": list(el.perm)}
-    if isinstance(el, ActNormLayer):
-        return {
-            "type": "ActNormLayer",
-            "d": int(el.bias.shape[0]),
-            "dtype": str(el.bias.dtype),
-        }
-    if isinstance(el, InvertibleLinearLayer):
-        return {
-            "type": "InvertibleLinearLayer",
-            "d": el.d,
-            "dtype": str(el.log_s.dtype),
-            "perm": list(el.perm),
-            "sign": [float(s) for s in el.sign],
-        }
-    if isinstance(el, CouplingBlock):
-        return {
-            "type": "CouplingBlock",
-            "layer_1": element_spec(el.layer_1),
-            "layer_2": element_spec(el.layer_2),
-        }
-    if isinstance(el, FlowChain):
-        return {
-            "type": "FlowChain",
-            "layers": [element_spec(l) for l in el.layers],
-        }
-    if isinstance(el, EmbeddedChain):
-        return {
-            "type": "EmbeddedChain",
-            "embed": element_spec(el.embed),
-            "chain": element_spec(el.chain),
-        }
-    if isinstance(el, LogitLayer):
-        return {
-            "type": "LogitLayer",
-            "d": int(el.lo.shape[0]),
-            "dtype": str(el.lo.dtype),
-            "eps": float(el.eps),
-        }
-    if isinstance(el, StandardNormal):
-        return {"type": "StandardNormal", "d": el.d}
-    if isinstance(el, DiagNormal):
-        return {
-            "type": "DiagNormal",
-            "d": int(el.mean.shape[-1]),
-            "dtype": str(el.mean.dtype),
-        }
-    if isinstance(el, GaussianMixture):
-        return {
-            "type": "GaussianMixture",
-            "k": el.k,
-            "d": el.d,
-            "dtype": str(el.means.dtype),
-        }
-    if isinstance(el, BoxUniform):
-        return {
-            "type": "BoxUniform",
-            "d": el.d,
-            "dtype": str(el.lo.dtype),
-        }
-    raise TypeError(f"don't know how to checkpoint {type(el).__name__}")
+register_element(
+    MLP,
+    lambda el: {
+        "weight_shapes": [list(w.shape) for w in el.weights],
+        "bias_shapes": [list(b.shape) for b in el.biases],
+        "dtype": str(el.weights[0].dtype) if el.weights else "float32",
+        "activation": el.activation,
+    },
+    lambda s: MLP(
+        tuple(jnp.zeros(sh, jnp.dtype(s["dtype"])) for sh in s["weight_shapes"]),
+        tuple(jnp.zeros(sh, jnp.dtype(s["dtype"])) for sh in s["bias_shapes"]),
+        s["activation"],
+    ),
+)
 
+register_element(
+    MaskedMLP,
+    lambda el: {
+        "weight_shapes": [list(w.shape) for w in el.weights],
+        "bias_shapes": [list(b.shape) for b in el.biases],
+        "masks": [list(map(list, m)) for m in el.masks],
+        "dtype": str(el.weights[0].dtype),
+        "activation": el.activation,
+    },
+    lambda s: MaskedMLP(
+        tuple(jnp.zeros(sh, jnp.dtype(s["dtype"])) for sh in s["weight_shapes"]),
+        tuple(jnp.zeros(sh, jnp.dtype(s["dtype"])) for sh in s["bias_shapes"]),
+        tuple(tuple(map(tuple, m)) for m in s["masks"]),
+        s["activation"],
+    ),
+)
 
-def element_from_spec(spec: dict):
-    """Rebuild a flow element skeleton (zero arrays) from its spec — the
-    analogue of the reference's ``load_element`` type resolution
-    (Loading.jl:176-307), without ``eval``/reflection."""
-    t = spec["type"]
-    if t == "MLP":
-        dtype = jnp.dtype(spec["dtype"])
-        weights = tuple(jnp.zeros(s, dtype) for s in spec["weight_shapes"])
-        biases = tuple(jnp.zeros(s, dtype) for s in spec["bias_shapes"])
-        return MLP(weights, biases, spec["activation"])
-    if t == "MaskedMLP":
-        dtype = jnp.dtype(spec["dtype"])
-        weights = tuple(jnp.zeros(s, dtype) for s in spec["weight_shapes"])
-        biases = tuple(jnp.zeros(s, dtype) for s in spec["bias_shapes"])
-        masks = tuple(tuple(map(tuple, m)) for m in spec["masks"])
-        return MaskedMLP(weights, biases, masks, spec["activation"])
-    if t in ("MAFLayer", "IAFLayer"):
-        cls = MAFLayer if t == "MAFLayer" else IAFLayer
-        return cls(
-            element_from_spec(spec["net"]), spec["d"], spec["n"],
-            spec["max_log_scale"],
-        )
-    if t == "RNVPCouplingLayer":
-        return RNVPCouplingLayer(
-            element_from_spec(spec["s_net"]),
-            element_from_spec(spec["t_net"]),
-            _axes_from_spec(spec["axes"]),
-            float(spec.get("max_log_scale", 0.0)),  # pre-field ckpts
-        )
-    if t == "NICECouplingLayer":
-        return NICECouplingLayer(
-            element_from_spec(spec["t_net"]), _axes_from_spec(spec["axes"])
-        )
-    if t == "RQSCouplingLayer":
-        return RQSCouplingLayer(
-            element_from_spec(spec["p_net"]),
-            _axes_from_spec(spec["axes"]),
-            spec["n_bins"],
-            spec["bound"],
-        )
-    if t == "NormalizationLayer":
-        dtype = jnp.dtype(spec["dtype"])
-        z = jnp.zeros((spec["d"],), dtype)
-        # skeleton x_max=1 keeps the zero-array skeleton valid (x_max > x_min)
-        return NormalizationLayer(z, z + 1, spec["alpha"], spec["beta"])
-    if t == "PermutationLayer":
-        return PermutationLayer(tuple(spec["perm"]))
-    if t == "ActNormLayer":
-        dtype = jnp.dtype(spec["dtype"])
-        z = jnp.zeros((spec["d"],), dtype)
-        return ActNormLayer(z, z)
-    if t == "InvertibleLinearLayer":
-        dtype = jnp.dtype(spec["dtype"])
-        d = spec["d"]
-        return InvertibleLinearLayer(
-            jnp.zeros((d, d), dtype), jnp.zeros((d, d), dtype),
-            jnp.zeros((d,), dtype), tuple(spec["perm"]),
-            tuple(spec["sign"]),
-        )
-    if t == "CouplingBlock":
-        return CouplingBlock(
-            element_from_spec(spec["layer_1"]), element_from_spec(spec["layer_2"])
-        )
-    if t == "FlowChain":
-        return FlowChain(tuple(element_from_spec(s) for s in spec["layers"]))
-    if t == "EmbeddedChain":
-        return EmbeddedChain(
-            element_from_spec(spec["embed"]), element_from_spec(spec["chain"])
-        )
-    if t == "LogitLayer":
-        dtype = jnp.dtype(spec["dtype"])
-        z = jnp.zeros((spec["d"],), dtype)
-        return LogitLayer(z, z + 1, spec["eps"])
-    if t == "StandardNormal":
-        return StandardNormal(spec["d"])
-    if t == "DiagNormal":
-        dtype = jnp.dtype(spec["dtype"])
-        return DiagNormal(jnp.zeros((spec["d"],), dtype), jnp.ones((spec["d"],), dtype))
-    if t == "GaussianMixture":
-        dtype = jnp.dtype(spec["dtype"])
-        return GaussianMixture(
-            jnp.zeros((spec["k"], spec["d"]), dtype),
-            jnp.ones((spec["k"], spec["d"]), dtype),
-            jnp.zeros((spec["k"],), dtype),
-        )
-    if t == "BoxUniform":
-        dtype = jnp.dtype(spec["dtype"])
-        z = jnp.zeros((spec["d"],), dtype)
-        return BoxUniform(z, z + 1)
-    raise ValueError(f"unknown element type in checkpoint: {t}")
+def _ar_spec(el):
+    return {
+        "net": element_spec(el.net),
+        "d": int(el.d),
+        "n": int(el.n),
+        "max_log_scale": float(el.max_log_scale),
+    }
+
+register_element(
+    MAFLayer, _ar_spec,
+    lambda s: MAFLayer(element_from_spec(s["net"]), s["d"], s["n"],
+                       s["max_log_scale"]),
+)
+register_element(
+    IAFLayer, _ar_spec,
+    lambda s: IAFLayer(element_from_spec(s["net"]), s["d"], s["n"],
+                       s["max_log_scale"]),
+)
+
+register_element(
+    RNVPCouplingLayer,
+    lambda el: {
+        "s_net": element_spec(el.s_net),
+        "t_net": element_spec(el.t_net),
+        "axes": _axes_spec(el.axes),
+        "max_log_scale": float(el.max_log_scale),
+    },
+    lambda s: RNVPCouplingLayer(
+        element_from_spec(s["s_net"]),
+        element_from_spec(s["t_net"]),
+        _axes_from_spec(s["axes"]),
+        float(s.get("max_log_scale", 0.0)),  # pre-field ckpts
+    ),
+)
+
+register_element(
+    NICECouplingLayer,
+    lambda el: {"t_net": element_spec(el.t_net), "axes": _axes_spec(el.axes)},
+    lambda s: NICECouplingLayer(
+        element_from_spec(s["t_net"]), _axes_from_spec(s["axes"])
+    ),
+)
+
+register_element(
+    RQSCouplingLayer,
+    lambda el: {
+        "p_net": element_spec(el.p_net),
+        "axes": _axes_spec(el.axes),
+        "n_bins": int(el.n_bins),
+        "bound": float(el.bound),
+    },
+    lambda s: RQSCouplingLayer(
+        element_from_spec(s["p_net"]), _axes_from_spec(s["axes"]),
+        s["n_bins"], s["bound"],
+    ),
+)
+
+def _norm_from_spec(s):
+    dtype = jnp.dtype(s["dtype"])
+    z = jnp.zeros((s["d"],), dtype)
+    # skeleton x_max=1 keeps the zero-array skeleton valid (x_max > x_min)
+    return NormalizationLayer(z, z + 1, s["alpha"], s["beta"])
+
+register_element(
+    NormalizationLayer,
+    lambda el: {
+        "d": int(el.x_min.shape[0]),
+        "dtype": str(el.x_min.dtype),
+        "alpha": float(el.alpha),
+        "beta": float(el.beta),
+    },
+    _norm_from_spec,
+)
+
+register_element(
+    PermutationLayer,
+    lambda el: {"perm": list(el.perm)},
+    lambda s: PermutationLayer(tuple(s["perm"])),
+)
+
+register_element(
+    ActNormLayer,
+    lambda el: {"d": int(el.bias.shape[0]), "dtype": str(el.bias.dtype)},
+    lambda s: ActNormLayer(jnp.zeros((s["d"],), jnp.dtype(s["dtype"])),
+                           jnp.zeros((s["d"],), jnp.dtype(s["dtype"]))),
+)
+
+register_element(
+    InvertibleLinearLayer,
+    lambda el: {
+        "d": el.d,
+        "dtype": str(el.log_s.dtype),
+        "perm": list(el.perm),
+        "sign": [float(v) for v in el.sign],
+    },
+    lambda s: InvertibleLinearLayer(
+        jnp.zeros((s["d"], s["d"]), jnp.dtype(s["dtype"])),
+        jnp.zeros((s["d"], s["d"]), jnp.dtype(s["dtype"])),
+        jnp.zeros((s["d"],), jnp.dtype(s["dtype"])),
+        tuple(s["perm"]), tuple(s["sign"]),
+    ),
+)
+
+register_element(
+    CouplingBlock,
+    lambda el: {"layer_1": element_spec(el.layer_1),
+                "layer_2": element_spec(el.layer_2)},
+    lambda s: CouplingBlock(element_from_spec(s["layer_1"]),
+                            element_from_spec(s["layer_2"])),
+)
+
+register_element(
+    FlowChain,
+    lambda el: {"layers": [element_spec(l) for l in el.layers]},
+    lambda s: FlowChain(tuple(element_from_spec(v) for v in s["layers"])),
+)
+
+register_element(
+    EmbeddedChain,
+    lambda el: {"embed": element_spec(el.embed), "chain": element_spec(el.chain)},
+    lambda s: EmbeddedChain(element_from_spec(s["embed"]),
+                            element_from_spec(s["chain"])),
+)
+
+register_element(
+    LogitLayer,
+    lambda el: {"d": int(el.lo.shape[0]), "dtype": str(el.lo.dtype),
+                "eps": float(el.eps)},
+    lambda s: LogitLayer(jnp.zeros((s["d"],), jnp.dtype(s["dtype"])),
+                         jnp.zeros((s["d"],), jnp.dtype(s["dtype"])) + 1,
+                         s["eps"]),
+)
+
+register_element(
+    StandardNormal,
+    lambda el: {"d": el.d},
+    lambda s: StandardNormal(s["d"]),
+)
+
+register_element(
+    DiagNormal,
+    lambda el: {"d": int(el.mean.shape[-1]), "dtype": str(el.mean.dtype)},
+    lambda s: DiagNormal(jnp.zeros((s["d"],), jnp.dtype(s["dtype"])),
+                         jnp.ones((s["d"],), jnp.dtype(s["dtype"]))),
+)
+
+register_element(
+    GaussianMixture,
+    lambda el: {"k": el.k, "d": el.d, "dtype": str(el.means.dtype)},
+    lambda s: GaussianMixture(
+        jnp.zeros((s["k"], s["d"]), jnp.dtype(s["dtype"])),
+        jnp.ones((s["k"], s["d"]), jnp.dtype(s["dtype"])),
+        jnp.zeros((s["k"],), jnp.dtype(s["dtype"])),
+    ),
+)
+
+register_element(
+    BoxUniform,
+    lambda el: {"d": el.d, "dtype": str(el.lo.dtype)},
+    lambda s: BoxUniform(jnp.zeros((s["d"],), jnp.dtype(s["dtype"])),
+                         jnp.zeros((s["d"],), jnp.dtype(s["dtype"])) + 1),
+)
 
 
 # -- array (de)hydration ---------------------------------------------------
