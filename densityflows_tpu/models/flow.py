@@ -74,6 +74,33 @@ def _log_prob_program(model, base, x, theta):
     return base.log_prob(z) + ldj
 
 
+@partial(jax.jit, static_argnums=(4,))
+def _log_prob_grid_program(model, base, vecs, theta_row, chunk):
+    """Chunked tensor-product-grid log-pdf: ONE jitted program that
+    `lax.map`s over row chunks, materializing each chunk's grid points
+    from mixed-radix indices on device — peak memory is O(chunk·d) +
+    the output, never the full (∏lenᵢ, d) grid (reference grid logpdf
+    materializes everything, src/Flows.jl:287-331)."""
+    lens = [v.shape[0] for v in vecs]
+    total = int(np.prod(lens))
+    n_chunks = -(-total // chunk)
+
+    def one(cidx):
+        flat = cidx * chunk + jnp.arange(chunk)
+        rem = flat
+        coords = []
+        for v in reversed(vecs):  # 'ij' indexing: last axis varies fastest
+            coords.append(v[rem % v.shape[0]])
+            rem = rem // v.shape[0]
+        pts = jnp.stack(coords[::-1], axis=-1)
+        th = jnp.broadcast_to(theta_row, (chunk, theta_row.shape[-1]))
+        z, ldj = _chain_eval(model, pts, th, "inv")
+        return base.log_prob(z) + ldj
+
+    lps = jax.lax.map(one, jnp.arange(n_chunks))
+    return lps.reshape(-1)[:total]
+
+
 @jax.jit
 def _forward_program(model, z, theta):
     return _chain_eval(model, z, theta, "fwd")
@@ -123,6 +150,13 @@ class Flow:
         scalar/tuple of n values (one θ for every sample, the reference's
         NTuple path, src/Flows.jl:174-185), or an array of shape
         (batch..., n).
+
+        Shape rule (deterministic — no batch-size-dependent flips): any
+        scalar / tuple / list / 0-D / 1-D input is ALWAYS one θ-vector of
+        the flow's n conditions, broadcast to every sample; per-sample
+        conditions must be explicitly shaped (batch..., n). A 1-D array
+        whose length isn't n raises (e.g. per-sample scalars for an n=1
+        flow must be passed as (batch, 1), not (batch,)).
         """
         n = self.metadata.n
         batch_shape = tuple(batch_shape)
@@ -130,21 +164,21 @@ class Flow:
             return jnp.zeros(batch_shape + (0,), dtype)
         if isinstance(theta, (int, float)):
             theta = (theta,)
-        if isinstance(theta, (tuple, list)) or (
-            hasattr(theta, "ndim") and np.ndim(theta) <= 1
-            and np.shape(theta) in ((n,), ())
-            and batch_shape != np.shape(theta)
-        ):
-            vec = jnp.asarray(theta, dtype).reshape(-1)
+        theta = jnp.asarray(theta, dtype)
+        if theta.ndim <= 1:
+            vec = theta.reshape(-1)
             if vec.shape[0] != n:
-                raise ValueError(f"theta must have {n} entries, got {vec.shape[0]}")
-            theta = jnp.broadcast_to(vec, batch_shape + (n,))
-        else:
-            theta = jnp.asarray(theta, dtype)
-            if theta.shape != batch_shape + (n,):
                 raise ValueError(
-                    f"theta shape {theta.shape} must be {batch_shape + (n,)}"
+                    f"theta must have {n} entries, got {vec.shape[0]} "
+                    f"(1-D theta is always one condition vector broadcast "
+                    f"to the batch; per-sample conditions need shape "
+                    f"{batch_shape + (n,)})"
                 )
+            theta = jnp.broadcast_to(vec, batch_shape + (n,))
+        elif theta.shape != batch_shape + (n,):
+            raise ValueError(
+                f"theta shape {theta.shape} must be {batch_shape + (n,)}"
+            )
         if n == 0:
             return theta
         return normalize_input(theta, self._theta_min.astype(dtype),
@@ -259,33 +293,45 @@ class Flow:
         return out.reshape(g, n_per_theta, self.metadata.d)
 
     # -- densities --------------------------------------------------------
-    def log_prob(self, x, theta=None):
+    def log_prob(self, x, theta=None, *, grid_chunk: int = 65536):
         """log pdf at x (reference ``logpdf``, src/Flows.jl:272-281).
 
         ``x`` may also be a tuple of d per-axis vectors — then the log-pdf
         is evaluated on the full tensor-product grid and returned with
         shape (len(x[0]), ..., len(x[d-1])) (src/Flows.jl:287-331); in that
-        form a conditional flow requires θ as a tuple of n scalars.
+        form a conditional flow requires θ as a tuple of n scalars. Grids
+        larger than ``grid_chunk`` rows are evaluated in on-device chunks
+        (one fused program; peak memory O(grid_chunk·d) + output), so
+        dense grids in d ≥ 4 don't OOM.
         """
         if isinstance(x, (tuple, list)) and all(
             np.ndim(v) == 1 for v in x
         ):
-            return self._log_prob_grid(tuple(x), theta)
+            return self._log_prob_grid(tuple(x), theta, grid_chunk)
         x = jnp.asarray(x)
         return _log_prob_program(
             self.model, self.base, x,
             self.prepare_theta(theta, x.shape[:-1], x.dtype),
         )
 
-    def _log_prob_grid(self, axes_vectors: tuple, theta):
+    def _log_prob_grid(self, axes_vectors: tuple, theta, grid_chunk: int):
         d = self.metadata.d
         if len(axes_vectors) != d:
             raise ValueError(f"grid must have {d} axis vectors")
+        lens = [len(v) for v in axes_vectors]
+        total = int(np.prod(lens))
+        if total > grid_chunk:
+            vecs = tuple(jnp.asarray(v, jnp.float32) for v in axes_vectors)
+            theta_row = self.prepare_theta(theta, (1,))
+            lp = _log_prob_grid_program(
+                self.model, self.base, vecs, theta_row, int(grid_chunk)
+            )
+            return lp.reshape(lens)
         grids = jnp.meshgrid(*[jnp.asarray(v) for v in axes_vectors],
                              indexing="ij")
         pts = jnp.stack([g.reshape(-1) for g in grids], axis=-1)
         lp = self.log_prob(pts, theta)
-        return lp.reshape([len(v) for v in axes_vectors])
+        return lp.reshape(lens)
 
     def prob(self, x, theta=None):
         """pdf = exp(log_prob) (reference ``pdf``, src/Flows.jl:345-349)."""

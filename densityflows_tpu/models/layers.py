@@ -340,7 +340,15 @@ class RQSCouplingLayer:
         )
 
     def forward_(self, z, theta):
-        return self.forward(z, theta)[0]
+        """ldj-free spline sampling fast path: the derivative/log chain is
+        skipped at the op level (``rq_spline(with_ldj=False)``), the spline
+        analogue of the reference's ``forward!`` (src/Flows.jl:190-205)."""
+        from ..ops.spline import rq_spline
+
+        z_id, z_af, raw = self._params(z, theta)
+        x_af, _ = rq_spline(z_af, raw, bound=self.bound, inverse=False,
+                            with_ldj=False)
+        return C.recombine_features(z_id, x_af, self.axes)
 
     def summarize(self) -> str:
         return (

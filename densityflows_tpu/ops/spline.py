@@ -50,13 +50,19 @@ def _make_knots(raw_w, raw_h, raw_d, bound, n_bins):
     return xk, yk, widths, heights, d
 
 
-def rq_spline(inputs, params, *, bound: float = 3.0, inverse: bool = False):
+def rq_spline(inputs, params, *, bound: float = 3.0, inverse: bool = False,
+              with_ldj: bool = True):
     """Apply the elementwise RQ spline (or its inverse) with identity tails.
 
     ``inputs``: (…,) values; ``params``: (…, 3K−1) raw conditioner
     outputs broadcastable against inputs. Returns ``(outputs, ldj_elem)``
     where ``ldj_elem`` is the per-ELEMENT log|dy/dx| (fp32) — sum it over
     the feature axis for the coupling-layer ldj.
+
+    ``with_ldj=False`` is the ldj-free sampling fast path (the spline
+    analogue of the reference's ``forward!``, src/Flows.jl:190-205): the
+    derivative/log chain is never emitted and ``ldj_elem`` is ``None`` —
+    explicit even in eager mode, not reliant on XLA DCE.
     """
     n_bins = (params.shape[-1] + 1) // 3
     raw_w = params[..., :n_bins]
@@ -87,9 +93,6 @@ def rq_spline(inputs, params, *, bound: float = 3.0, inverse: bool = False):
         om = xi * (1 - xi)
         denom = sk + (d1 + d0 - 2 * sk) * om
         y = y0 + hk * (sk * xi * xi + d0 * om) / denom
-        deriv = (
-            sk * sk * (d1 * xi * xi + 2 * sk * om + d0 * (1 - xi) ** 2)
-        ) / (denom * denom)
         out = jnp.where(inside, y, inputs)
     else:
         # solve the quadratic a ξ² + b ξ + c = 0 for ξ (Durkan et al. App. A)
@@ -103,11 +106,13 @@ def rq_spline(inputs, params, *, bound: float = 3.0, inverse: bool = False):
         om = xi * (1 - xi)
         denom = sk + (d1 + d0 - 2 * sk) * om
         x = x0 + wk * xi
-        deriv = (
-            sk * sk * (d1 * xi * xi + 2 * sk * om + d0 * (1 - xi) ** 2)
-        ) / (denom * denom)
         out = jnp.where(inside, x, inputs)
 
+    if not with_ldj:
+        return out, None
+    deriv = (
+        sk * sk * (d1 * xi * xi + 2 * sk * om + d0 * (1 - xi) ** 2)
+    ) / (denom * denom)
     ldj = jnp.where(inside, jnp.log(deriv.astype(jnp.float32)), 0.0)
     if inverse:
         ldj = -ldj

@@ -224,3 +224,54 @@ def test_sample_sweep_sharded(fixture_data):
     thetas = np.array([[-1.0], [2.0]], np.float32)
     out = flow.sample_sweep(thetas, 64, key=jax.random.key(1), mesh=mesh)
     assert out.shape == (2, 64, 5)
+
+
+def test_grid_log_prob_chunked_matches_direct(fixture_data):
+    """Grids larger than grid_chunk evaluate in on-device chunks; the
+    result must be identical to the one-shot path."""
+    x, theta = fixture_data
+    flow, _ = _readme_flow(x, theta)
+    vecs = tuple(np.linspace(-2, 2, k).astype(np.float32)
+                 for k in (7, 6, 5, 4, 3))  # 2520 rows
+    direct = np.asarray(flow.log_prob(vecs, (-1.0,)))
+    chunked = np.asarray(flow.log_prob(vecs, (-1.0,), grid_chunk=128))
+    assert direct.shape == (7, 6, 5, 4, 3)
+    np.testing.assert_allclose(chunked, direct, rtol=2e-5, atol=2e-5)
+
+
+def test_prepare_theta_one_d_always_broadcasts():
+    """1-D θ of length n is ALWAYS one condition vector — even when the
+    batch size equals n (the previously flip-prone shape)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(50, 2)).astype(np.float32)
+    th = rng.normal(size=(50, 3)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+    flow = df.Flow(
+        df.flow_chain(df.coupling_layer(data, [0], key=jax.random.key(0))),
+        data,
+    )
+    out = flow.prepare_theta(np.array([0.1, 0.2, 0.3], np.float32), (3,))
+    assert out.shape == (3, 3)
+    # all rows identical: broadcast, not per-sample
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out[1]))
+    # wrong-length 1-D raises with the explicit-shape hint
+    import pytest
+    with pytest.raises(ValueError, match="broadcast"):
+        flow.prepare_theta(np.zeros(5, np.float32), (5,))
+
+
+def test_rqs_forward_fast_path_matches_forward(fixture_data):
+    """RQS forward_ (ldj-free spline fast path) equals forward()[0]."""
+    import jax
+
+    layer = df.coupling_layer(
+        4, [0, 2], kind=df.RQSCouplingLayer, key=jax.random.key(3)
+    )
+    z = np.random.default_rng(1).normal(size=(64, 4)).astype(np.float32)
+    th = np.zeros((64, 0), np.float32)
+    full, ldj = layer.forward(z, th)
+    fast = layer.forward_(z, th)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full), rtol=1e-6)
+    assert np.asarray(ldj).shape == (64,)
