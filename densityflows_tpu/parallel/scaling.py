@@ -6,6 +6,15 @@ jitted train-step / sampling-sweep on submeshes of growing size with the
 per-device batch held constant (weak scaling) and reports throughput and
 efficiency vs linear.
 
+Timing method — two-point scan differencing, the ONLY method that gives
+self-consistent numbers over the tunneled TPU (docs/design.md §3,
+CLAUDE.md): each workload runs M reps inside one ``lax.scan`` program at
+two lengths (M1, M2) and the rate is Δt/ΔM, which cancels the
+per-dispatch constant exactly (it flips between ~1 ms and ~28 ms for
+long stretches of a process's lifetime, so blocked per-call loops
+measure the tunnel, not the device). Scan bodies reduce over every
+output element so XLA cannot dead-code-eliminate the work.
+
 On a real multi-chip slice this measures ICI collectives; on the
 CPU-virtual-device test rig it validates that the programs partition and
 execute at every mesh size (the standard pjit test path, SURVEY.md §4).
@@ -25,6 +34,8 @@ from .mesh import data_sharding, make_mesh, replicated
 
 __all__ = ["ScalingPoint", "scaling_report"]
 
+_M1, _M2 = 2, 8
+
 
 @dataclasses.dataclass(frozen=True)
 class ScalingPoint:
@@ -35,14 +46,32 @@ class ScalingPoint:
     sample_efficiency: float
 
 
-def _time_reps(fn, reps):
-    out = fn()  # compile + warm
-    jax.block_until_ready(out)
+def _timed(fn, *args):
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
+    out = fn(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    return time.perf_counter() - t0
+
+
+def _scan_rate(make_scan, work_per_rep, args, reps):
+    """work/s via two-point scan differencing (Δt/ΔM over scan lengths
+    M1=2, M2=8); median over ``reps`` interleaved pairs."""
+    f1, f2 = make_scan(_M1), make_scan(_M2)
+    jax.block_until_ready(f1(*args))  # compile both lengths
+    jax.block_until_ready(f2(*args))
+    ds, t2s = [], []
+    for _ in range(reps):
+        t1 = _timed(f1, *args)
+        t2 = _timed(f2, *args)
+        ds.append((t2 - t1) / (_M2 - _M1))
+        t2s.append(t2 / _M2)
+    d = float(np.median(ds))
+    if d <= 0:
+        # workload below the timer/dispatch noise floor (tiny models on
+        # the CPU rig) — fall back to the blocked per-rep rate, which is
+        # an UNDER-estimate but always positive
+        d = float(np.median(t2s))
+    return work_per_rep / d
 
 
 def scaling_report(
@@ -52,7 +81,7 @@ def scaling_report(
     *,
     per_device_batch: int = 1024,
     device_counts=None,
-    reps: int = 10,
+    reps: int = 5,
     seed: int = 0,
 ) -> list[ScalingPoint]:
     """Weak-scaling sweep of the fused train step and the sampling sweep.
@@ -60,10 +89,11 @@ def scaling_report(
     ``make_model(key)`` builds the flow chain; the global batch is
     ``per_device_batch × n_devices`` at every point, sharded over a
     1-axis ``data`` mesh of each size in ``device_counts`` (default:
-    powers of two up to the local device count).
+    powers of two up to the local device count). Rates come from the
+    two-point scanned method (module docstring), valid over the tunnel.
     """
     from ..models.distributions import StandardNormal
-    from ..train import make_train_step
+    from ..train import masked_nll_loss
 
     all_devices = jax.devices()
     if device_counts is None:
@@ -73,7 +103,6 @@ def scaling_report(
 
     base = StandardNormal(d)
     optimizer = optax.adam(1e-3)
-    step = make_train_step(optimizer)
     rng = np.random.default_rng(seed)
     points: list[ScalingPoint] = []
     t1 = s1 = None
@@ -95,32 +124,46 @@ def scaling_report(
             np.ones((batch,), np.float32), data_sharding(mesh, 1)
         )
 
-        state = {"m": model, "o": opt_state}
+        def make_train_scan(m):
+            @jax.jit
+            def run(model, opt_state):
+                def body(c, _):
+                    mm, oo = c
+                    loss, grads = jax.value_and_grad(masked_nll_loss)(
+                        mm, base, x, theta, mask
+                    )
+                    updates, oo = optimizer.update(grads, oo, mm)
+                    mm = optax.apply_updates(mm, updates)
+                    return (mm, oo), loss
 
-        def train_once(state=state, x=x, theta=theta, mask=mask):
-            m, o, loss = step(state["m"], state["o"], base, x, theta, mask)
-            state["m"], state["o"] = m, o
-            return loss
+                _, losses = jax.lax.scan(body, (model, opt_state), None,
+                                         length=m)
+                return losses[-1]
 
-        dt_train = _time_reps(train_once, reps)
-        tps = batch / dt_train
+            return run
 
-        model_s = state["m"]
+        tps = _scan_rate(make_train_scan, batch, (model, opt_state), reps)
 
-        @jax.jit
-        def full_sweep(model_s, key, theta):
-            # end-to-end sweep: on-device base draw → ldj-free chain forward
-            r = base.sample(key, (batch,))
-            r = jax.lax.with_sharding_constraint(r, data_sharding(mesh, 2))
-            return model_s.forward_(r, theta)
+        def make_sample_scan(m):
+            @jax.jit
+            def run(model, theta, key):
+                def body(c, k):
+                    r = base.sample(k, (batch,))
+                    r = jax.lax.with_sharding_constraint(
+                        r, data_sharding(mesh, 2))
+                    out = model.forward_(r, theta)
+                    return c + jnp.sum(out), None
 
-        keys = iter(jax.random.split(jax.random.key(seed + 1), reps + 1))
+                tot, _ = jax.lax.scan(body, jnp.float32(0),
+                                      jax.random.split(key, m))
+                return tot
 
-        def sample_once():
-            return full_sweep(model_s, next(keys), theta)
+            return run
 
-        dt_sample = _time_reps(sample_once, reps)
-        sps = batch / dt_sample
+        sps = _scan_rate(
+            make_sample_scan, batch, (model, theta, jax.random.key(seed + 1)),
+            reps,
+        )
 
         if t1 is None:
             t1, s1 = tps, sps
