@@ -45,6 +45,43 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
+# bf16 matmul peak by device kind (dense, per chip). The conditioner
+# matmuls run bf16 under mixed_precision=True; f32 work on the MXU runs
+# at ~half these rates, so bf16 peak is the honest roofline denominator
+# for the wide mixed-precision train number.
+_PEAK_BF16 = {
+    "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+    "v4": 275e12, "v5p": 459e12, "v6": 918e12, "trillium": 918e12,
+    "v3": 123e12, "v2": 45e12,
+}
+
+
+def _device_peak_flops(jax):
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, peak in _PEAK_BF16.items():
+        if key in kind:
+            return peak, kind
+    return 197e12, kind or "unknown (assumed v5e)"
+
+
+def _mlp_flops_per_sample(model):
+    """Conditioner-matmul FLOPs for ONE sample's forward pass: 2·Σ|W|
+    over every dense layer of every conditioner MLP in the model. The
+    elementwise affine/ldj work is negligible next to these (the FLOPs
+    model behind the roofline/MFU figure, BASELINE.md north star)."""
+    import jax
+    from densityflows_tpu.ops.mlp import MLP
+
+    nodes = jax.tree_util.tree_flatten(
+        model, is_leaf=lambda n: isinstance(n, MLP)
+    )[0]
+    return sum(
+        2 * int(np.prod(w.shape))
+        for n in nodes if isinstance(n, MLP)
+        for w in n.weights
+    )
+
+
 def _scan_rate(make_scan, work_per_rep, *args):
     """work/s via two-point scan differencing; median over REPS."""
     f1, f2 = make_scan(M1), make_scan(M2)
@@ -148,7 +185,21 @@ def _bench_wide(jax, jnp, df):
         return run
 
     sample_dps = _scan_rate(make_sample_scan, n_draws, jax.random.key(1))
-    return {"train_sps": train_sps, "sample_dps": sample_dps}
+
+    # roofline/MFU: conditioner matmul FLOPs per sample; training ≈ 3×
+    # forward (backward re-does each matmul twice: dL/dW and dL/dx)
+    fwd_flops = _mlp_flops_per_sample(chain)
+    peak, kind = _device_peak_flops(jax)
+    return {
+        "train_sps": train_sps,
+        "sample_dps": sample_dps,
+        "train_tflops": train_sps * 3 * fwd_flops / 1e12,
+        "train_mfu": train_sps * 3 * fwd_flops / peak,
+        "sample_mfu": sample_dps * fwd_flops / peak,
+        "flops_per_sample_fwd": fwd_flops,
+        "peak_tflops_bf16": peak / 1e12,
+        "device_kind": kind,
+    }
 
 
 def main():
@@ -197,6 +248,10 @@ def main():
         t_hi = time.perf_counter() - t0
         diffs.append((t_hi - t_lo) / (EPOCHS_HI - EPOCHS_LO))
     train_sps = n_train / float(np.median(diffs))
+    # spread across reps (the tunnel's dispatch-mode flips dominate it):
+    # report so the headline is quotable as median ± spread
+    q25, q75 = np.percentile(diffs, [75, 25])  # note: rate is 1/time
+    train_sps_lo, train_sps_hi = n_train / float(q25), n_train / float(q75)
 
     # correctness contract: final NLL after the reference's 50 epochs
     flow = build_flow()
@@ -235,10 +290,17 @@ def main():
                 "value": round(value, 1),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(vs, 3),
+                "value_range": [round(train_sps_lo, 1), round(train_sps_hi, 1)],
                 "final_train_nll": round(float(final_nll), 4),
                 "sample_draws_per_sec": round(sample_dps, 1),
                 "wide_train_samples_per_sec": round(wide["train_sps"], 1),
                 "wide_sample_draws_per_sec": round(wide["sample_dps"], 1),
+                "wide_train_tflops": round(wide["train_tflops"], 2),
+                "wide_train_mfu": round(wide["train_mfu"], 4),
+                "wide_sample_mfu": round(wide["sample_mfu"], 4),
+                "wide_flops_per_sample_fwd": wide["flops_per_sample_fwd"],
+                "peak_tflops_bf16": wide["peak_tflops_bf16"],
+                "device_kind": wide["device_kind"],
                 "timing": "two-point dispatch-cancelled (docs/design.md §3)",
                 "device": str(jax.devices()[0]),
             }

@@ -161,6 +161,12 @@ class Flow:
         n = self.metadata.n
         batch_shape = tuple(batch_shape)
         if theta is None:
+            if n:
+                raise ValueError(
+                    f"this flow is conditional (n={n}); pass theta "
+                    "(the unconditional theta=None form is only valid for "
+                    "n=0 flows — reference dflt_θ, src/Data.jl:55-65)"
+                )
             return jnp.zeros(batch_shape + (0,), dtype)
         if isinstance(theta, (int, float)):
             theta = (theta,)
