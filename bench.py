@@ -82,16 +82,29 @@ def _mlp_flops_per_sample(model):
     )
 
 
-def _scan_rate(make_scan, work_per_rep, *args):
-    """work/s via two-point scan differencing; median over REPS."""
-    f1, f2 = make_scan(M1), make_scan(M2)
-    f1(*args), f2(*args)  # compile both lengths
-    ds = []
-    for _ in range(REPS):
-        t1 = _timed(f1, *args)
-        t2 = _timed(f2, *args)
-        ds.append((t2 - t1) / (M2 - M1))
-    return work_per_rep / float(np.median(ds))
+def _scan_rate(make_scan, work_per_rep, *args, m1=M1, m2=M2):
+    """work/s via two-point scan differencing; median over REPS.
+
+    The scan-length gap must put the device-time signal (Δm steps) well
+    above the tunnel's per-call jitter — callers with fast per-step
+    bodies pass a wider (m1, m2). If the median difference still comes
+    out non-positive (jitter-dominated), the gap is doubled and the
+    measurement retried rather than returning a negative rate."""
+    for _ in range(4):
+        f1, f2 = make_scan(m1), make_scan(m2)
+        f1(*args), f2(*args)  # compile both lengths
+        ds = []
+        for _ in range(REPS):
+            t1 = _timed(f1, *args)
+            t2 = _timed(f2, *args)
+            ds.append((t2 - t1) / (m2 - m1))
+        d = float(np.median(ds))
+        if d > 0:
+            return work_per_rep / d
+        m2 *= 2
+    raise RuntimeError(
+        f"two-point measurement stayed jitter-dominated up to m2={m2}"
+    )
 
 
 def _sample_rate(flow, n_draws, theta):
@@ -164,7 +177,10 @@ def _bench_wide(jax, jnp, df):
 
         return run
 
-    train_sps = _scan_rate(make_train_scan, batch, chain, opt_state)
+    # ~1 ms/step at this config: a 6-step gap (~6 ms) drowns in tunnel
+    # jitter — use a 56-step gap so the signal dominates
+    train_sps = _scan_rate(make_train_scan, batch, chain, opt_state,
+                           m1=8, m2=64)
 
     n_draws = 1 << 18
     theta1 = theta[:1]

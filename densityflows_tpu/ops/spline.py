@@ -82,7 +82,16 @@ def rq_spline(inputs, params, *, bound: float = 3.0, inverse: bool = False,
         n_bins - 1,
     )
 
-    take = lambda a: jnp.take_along_axis(a, k[..., None], axis=-1)[..., 0]
+    # per-element bin select as a one-hot CONTRACTION, not a gather:
+    # jnp.take_along_axis lowers to per-element dynamic gathers that are
+    # catastrophically slow on TPU (measured 500× on v5e); multiplying by
+    # a (…, K)-one-hot and reducing keeps everything dense/vectorized at
+    # the cost of K-fold elementwise work — negligible next to the
+    # conditioner matmuls.
+    def take(a):
+        oh = jax.nn.one_hot(k, a.shape[-1], dtype=a.dtype)
+        return jnp.sum(a * oh, axis=-1)
+
     x0, y0 = take(xk), take(yk)
     wk, hk = take(widths), take(heights)
     d0, d1 = take(d[..., :-1]), take(d[..., 1:])
