@@ -105,8 +105,10 @@ def apply_made(net: MaskedMLP, h: jax.Array) -> jax.Array:
     a = h
     for i, (w, b, m) in enumerate(zip(net.weights, net.biases, net.masks)):
         mask = jnp.asarray(m, dtype=w.dtype)
-        a = jnp.dot(a, w * mask, preferred_element_type=jnp.float32) + b
+        # compute in the weights' dtype end-to-end (same rationale as
+        # apply_mlp: an f32 epilogue per layer promotes the backward
+        # matmuls to half-rate f32); one cast back at the output
+        a = jnp.dot(a.astype(w.dtype), w * mask) + b
         if i < n - 1:
             a = act(a)
-        a = a.astype(h.dtype) if a.dtype != h.dtype else a
-    return a
+    return a.astype(h.dtype) if a.dtype != h.dtype else a
