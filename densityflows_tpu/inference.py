@@ -343,8 +343,13 @@ def fit_variational(
 
     cache_key = (id(optimizer), id(log_density), steps, n_particles,
                  particle_sharding)
-    if cache_key in _VI_CACHE:
-        program = _VI_CACHE[cache_key]
+    cached = _VI_CACHE.get(cache_key)
+    # identity-checked: entries hold the keyed objects so their id()s
+    # stay alive — otherwise a GC'd optimizer/log_density could hand its
+    # id to a new object and silently reuse a stale compiled program
+    # capturing the OLD closure
+    if cached is not None and cached[0] is optimizer and cached[1] is log_density:
+        program = cached[2]
     else:
 
         def vi_loss(model, k):
@@ -370,7 +375,7 @@ def fit_variational(
             )
             return model, opt_state, losses
 
-        _VI_CACHE[cache_key] = program
+        _VI_CACHE[cache_key] = (optimizer, log_density, program)
 
     model = flow.model
     opt_state = optimizer.init(model)

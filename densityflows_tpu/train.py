@@ -204,8 +204,13 @@ def make_train_program(
     cache_key = (id(optimizer), batchsize, epochs, shuffle, n_train, n_valid,
                  batch_sharding, pure, remat, mixed_precision, weighted,
                  track_best, guard_nonfinite)
-    if cache_key in _PROGRAM_CACHE:
-        return _PROGRAM_CACHE[cache_key]
+    cached = _PROGRAM_CACHE.get(cache_key)
+    # the entry stores the optimizer itself: it keeps the id() alive (a
+    # GC'd optimizer could hand its id to a NEW optimizer and silently
+    # hit a stale program) and the identity check makes collisions
+    # impossible rather than merely unlikely
+    if cached is not None and cached[0] is optimizer:
+        return cached[1]
     # epoch bookkeeping evals stay f32 even under mixed precision: loss
     # histories are the correctness record (src/Flows.jl:419-437)
     loss_fn = partial(masked_nll_loss, remat=remat,
@@ -299,7 +304,7 @@ def make_train_program(
         train_program = train_program_pure
     else:
         train_program = jax.jit(train_program_pure, donate_argnums=(0, 1))
-    _PROGRAM_CACHE[cache_key] = train_program
+    _PROGRAM_CACHE[cache_key] = (optimizer, train_program)
     return train_program
 
 
