@@ -167,7 +167,7 @@ def train_streaming(
     adds a per-epoch validation NLL. Returns ``opt_state``.
     """
     from .data import normalize_input
-    from .train import make_train_step, _default_adam, _eval_nll
+    from .train import make_train_step, _default_adam, _eval_nll_jit
 
     if optimizer is None:
         optimizer = _default_adam()
@@ -199,7 +199,7 @@ def train_streaming(
 
         logger = MetricsLogger(metrics_log)
 
-    eval_nll = jax.jit(_eval_nll)
+    eval_nll = _eval_nll_jit
     for e in range(epochs):
         losses, weights = [], []
         for xb, thb, mask in loader.epoch(e):

@@ -46,6 +46,7 @@ __all__ = [
     "make_weighted_train_step",
     "fit_posterior",
     "fit_posterior_rounds",
+    "propose_from_posterior",
     "fit_variational",
     "effective_sample_size",
     "systematic_resample",
@@ -56,6 +57,61 @@ __all__ = [
     "sbc_ranks",
     "sbc_uniformity",
 ]
+
+
+# -- identity-checked program caches -----------------------------------------
+#
+# Every engine entry point compiles its whole run as ONE program; defining
+# the @jax.jit closure inside the function body would recompile per CALL
+# (the jit cache keys on the closure object). These caches hoist each
+# program: the static config is the dict key and the entry stores the
+# keyed Python objects themselves, so (a) their id()s stay alive — a GC'd
+# callable could otherwise hand its id to a new object and silently reuse
+# a stale program capturing the OLD closure — and (b) hits are verified
+# by identity, making collisions impossible rather than merely unlikely
+# (the train.py / _VI_CACHE doctrine, train.py:204-212).
+
+# program-name → number of times its body was TRACED (Python side effect
+# at trace time only); tests assert a second identically-configured call
+# performs no retrace
+trace_counts: dict[str, int] = {}
+
+
+def _count_trace(name: str) -> None:
+    trace_counts[name] = trace_counts.get(name, 0) + 1
+
+
+class _IdentityCache:
+    """static-key → (identity objects, program), hit only when every
+    keyed object is the SAME object that built the program."""
+
+    def __init__(self):
+        self._store: dict = {}
+
+    def get(self, static_key, identity_objs: tuple):
+        entry = self._store.get(static_key)
+        if entry is not None and len(entry[0]) == len(identity_objs) and all(
+            a is b for a, b in zip(entry[0], identity_objs)
+        ):
+            return entry[1]
+        return None
+
+    def put(self, static_key, identity_objs: tuple, program):
+        self._store[static_key] = (tuple(identity_objs), program)
+        return program
+
+
+_REJECTION_CACHE = _IdentityCache()
+_MCMC_CACHE = _IdentityCache()
+_SMC_CACHE = _IdentityCache()
+
+
+def _particle_sharding(mesh):
+    if mesh is None:
+        return None
+    from .parallel.mesh import data_sharding
+
+    return data_sharding(mesh, 2)
 
 
 # -- rejection sampling -----------------------------------------------------
@@ -71,6 +127,7 @@ def sample_with_rejection(
     max_rounds: int = 100,
     batch: int | None = None,
     dtype=jnp.float32,
+    mesh=None,
 ):
     """Draw ``n_samples`` samples satisfying ``condition(x) -> bool mask``.
 
@@ -80,6 +137,12 @@ def sample_with_rejection(
     round, transforms them through the flow's jitted sampling program, and
     compacts accepted rows into the output buffer with a cumsum+scatter
     (static shapes throughout — TPU-friendly, no host sync per round).
+    Under ``mesh`` the candidate-draw axis is sharded over ``data`` like
+    every other particle subsystem (SMC/MCMC/sweep).
+
+    The program is compiled once per (condition, shape config) and cached
+    by identity — repeated calls with the same configuration dispatch the
+    cached executable (no retrace).
 
     Raises ``RuntimeError`` if the cap is hit before ``n_samples`` are
     accepted (reference throws ArgumentError, src/Flows.jl:220-223).
@@ -89,34 +152,48 @@ def sample_with_rejection(
     if batch is None:
         batch = max(2 * n_samples, 1024)
     theta_n = flow.prepare_theta(theta, (batch,), dtype)
+    sharding = _particle_sharding(mesh)
 
-    model, base = flow.model, flow.base
+    cache_key = (id(condition), n_samples, max_rounds, batch,
+                 jnp.dtype(dtype).name, sharding)
+    run = _REJECTION_CACHE.get(cache_key, (condition,))
+    if run is None:
 
-    @jax.jit
-    def run(model, theta_n, key):
-        def cond_fn(carry):
-            filled, _, _, rounds = carry
-            return jnp.logical_and(filled < n_samples, rounds < max_rounds)
+        @jax.jit
+        def run(model, base, theta_n, key):
+            _count_trace("rejection")
 
-        def body_fn(carry):
-            filled, out, k, rounds = carry
-            k, k_draw = jax.random.split(k)
-            r = base.sample(k_draw, (batch,), dtype)
-            x = model.forward_(r, theta_n)
-            ok = condition(x).astype(jnp.int32).reshape(batch)
-            # compaction: accepted row j goes to slot filled + rank(j)
-            ranks = jnp.cumsum(ok) - 1
-            dest = jnp.where(ok == 1, filled + ranks, n_samples)  # drop
-            out = out.at[dest].set(x, mode="drop")
-            return filled + jnp.sum(ok), out, k, rounds + 1
+            def constrain(a):
+                if sharding is not None:
+                    return jax.lax.with_sharding_constraint(a, sharding)
+                return a
 
-        out0 = jnp.zeros((n_samples, base.d), dtype)
-        filled, out, _, rounds = jax.lax.while_loop(
-            cond_fn, body_fn, (jnp.int32(0), out0, key, jnp.int32(0))
-        )
-        return filled, out, rounds
+            def cond_fn(carry):
+                filled, _, _, rounds = carry
+                return jnp.logical_and(filled < n_samples,
+                                       rounds < max_rounds)
 
-    filled, out, rounds = run(model, theta_n, key)
+            def body_fn(carry):
+                filled, out, k, rounds = carry
+                k, k_draw = jax.random.split(k)
+                r = constrain(base.sample(k_draw, (batch,), dtype))
+                x = model.forward_(r, theta_n)
+                ok = condition(x).astype(jnp.int32).reshape(batch)
+                # compaction: accepted row j goes to slot filled + rank(j)
+                ranks = jnp.cumsum(ok) - 1
+                dest = jnp.where(ok == 1, filled + ranks, n_samples)  # drop
+                out = out.at[dest].set(x, mode="drop")
+                return filled + jnp.sum(ok), out, k, rounds + 1
+
+            out0 = jnp.zeros((n_samples, base.d), dtype)
+            filled, out, _, rounds = jax.lax.while_loop(
+                cond_fn, body_fn, (jnp.int32(0), out0, key, jnp.int32(0))
+            )
+            return filled, out, rounds
+
+        _REJECTION_CACHE.put(cache_key, (condition,), run)
+
+    filled, out, rounds = run(flow.model, flow.base, theta_n, key)
     filled = int(filled)
     if filled < n_samples:
         raise RuntimeError(
@@ -201,6 +278,63 @@ def fit_posterior(
     )
 
 
+def propose_from_posterior(
+    flow,
+    x_obs,
+    n: int,
+    prior_sample: Callable[[np.random.Generator, int], np.ndarray],
+    prior_log_prob: Callable[[np.ndarray], np.ndarray],
+    rng: np.random.Generator,
+    key,
+    *,
+    n_eps_min: int = 4096,
+):
+    """Draw n proposal θ from the posterior estimate q(θ | x_obs), with
+    prior-support fallback, and return (θ, log q̃(θ)) under the TRUE
+    proposal density.
+
+    Mechanism: θ ~ flow; if θ lands outside the prior support
+    (``prior_log_prob = −inf``) it is replaced by a prior draw. The
+    density of this mechanism at in-support θ is the mixture
+
+        q̃(θ) = q_flow(θ) + ε·prior(θ),   ε = P_flow(draw ∉ support)
+
+    (the kept-flow branch contributes its unnormalized density q_flow
+    directly — note (1−ε)·q_trunc = q_flow — and the replacement branch
+    contributes ε·prior). Evaluating q_flow alone at replaced θ biases
+    SNPE-B importance weights exactly when truncation matters
+    (tested: tests/test_snpe_rounds.py). ε is estimated from an
+    independent batch of ≥ ``n_eps_min`` flow draws, add-one smoothed
+    (replacement occurred, so ε > 0 is known).
+    """
+    x_obs = np.asarray(x_obs, np.float32).reshape(-1)
+    cond = tuple(x_obs)
+    draws = np.asarray(flow.sample((n,), cond, key=key), np.float32)
+    lp_prior = np.asarray(prior_log_prob(draws), np.float64)
+    bad = ~np.isfinite(lp_prior)
+    if bad.any():
+        draws[bad] = np.asarray(prior_sample(rng, int(bad.sum())), np.float32)
+    theta = draws
+    cond_b = np.broadcast_to(x_obs, (len(theta), x_obs.shape[0]))
+    log_q_flow = np.asarray(
+        flow.log_prob(jnp.asarray(theta), cond_b), np.float64
+    )
+    if not bad.any():
+        return theta, log_q_flow
+    n_eps = max(n, n_eps_min)
+    k_eps = jax.random.fold_in(key, 0xE95)
+    eps_draws = np.asarray(flow.sample((n_eps,), cond, key=k_eps), np.float32)
+    n_bad = int(
+        (~np.isfinite(np.asarray(prior_log_prob(eps_draws), np.float64))).sum()
+    )
+    eps = max(n_bad, 1) / (n_eps + 1)
+    log_q = np.logaddexp(
+        log_q_flow,
+        np.log(eps) + np.asarray(prior_log_prob(theta), np.float64),
+    )
+    return theta, log_q
+
+
 def fit_posterior_rounds(
     flow: Flow,
     simulator: Callable[[np.ndarray], np.ndarray],
@@ -229,6 +363,17 @@ def fit_posterior_rounds(
     user code); fitting is the fused/jitted path of
     :func:`fit_posterior`.
 
+    Prior-support rejection is density-corrected: flow draws that land
+    outside the prior support (``prior_log_prob = −inf``) are replaced by
+    prior draws, which makes the TRUE proposal the mixture
+    ``q̃(θ) = q_flow(θ) + ε·prior(θ)`` with ε = P_flow(draw ∉ support)
+    (the in-support flow branch contributes its unnormalized density
+    q_flow directly; the replacement branch contributes ε·prior). The
+    importance weights use exactly this mixture — evaluating q_flow alone
+    at replaced θ (the naive formula) biases the weights whenever
+    truncation is frequent. ε is estimated from an independent batch of
+    flow draws so the estimate is decorrelated from the training θ.
+
     Returns ``(flow, history)`` where history records per-round sim
     counts and ESS of the importance weights. No reference counterpart —
     the reference has no inference engine at all (SURVEY.md §2.2).
@@ -250,23 +395,9 @@ def fit_posterior_rounds(
             theta = np.asarray(prior_sample(rng, n_sims_per_round), np.float32)
             log_q = np.asarray(prior_log_prob(theta), np.float64)
         else:
-            # propose from the current posterior at x_obs; reject outside
-            # the prior support (log p = -inf) by resampling from prior
-            cond = tuple(np.asarray(x_obs, np.float32))
-            draws = np.asarray(
-                flow.sample((n_sims_per_round,), cond, key=k_prop),
-                np.float32,
-            )
-            lp_prior = np.asarray(prior_log_prob(draws), np.float64)
-            bad = ~np.isfinite(lp_prior)
-            if bad.any():
-                draws[bad] = np.asarray(
-                    prior_sample(rng, int(bad.sum())), np.float32
-                )
-            theta = draws
-            cond_b = np.broadcast_to(x_obs, (len(theta), x_obs.shape[0]))
-            log_q = np.asarray(
-                flow.log_prob(jnp.asarray(theta), cond_b), np.float64
+            theta, log_q = propose_from_posterior(
+                flow, x_obs, n_sims_per_round, prior_sample,
+                prior_log_prob, rng, k_prop,
             )
         x_sim = np.asarray(simulator(theta), np.float32)
         if x_sim.shape[0] != theta.shape[0]:
@@ -513,37 +644,45 @@ def run_smc(
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
     k_init, k_run = jax.random.split(key)
     x0 = init_scale * jax.random.normal(k_init, (n_particles, d))
-    if mesh is not None:
-        from .parallel.mesh import data_sharding
+    sharding = _particle_sharding(mesh)
+    if sharding is not None:
+        x0 = jax.device_put(x0, sharding)
 
-        x0 = jax.device_put(x0, data_sharding(mesh, 2))
+    cache_key = (id(log_density), d, n_particles, n_steps,
+                 float(init_scale), float(ess_threshold),
+                 float(mh_step_size), n_mh, sharding)
+    program = _SMC_CACHE.get(cache_key, (log_density,))
+    if program is None:
 
-    def log_prior(x):
-        return -0.5 * jnp.sum(x * x, axis=-1) / (init_scale**2)
+        def log_prior(x):
+            return -0.5 * jnp.sum(x * x, axis=-1) / (init_scale**2)
 
-    lams = jnp.linspace(0.0, 1.0, n_steps + 1)
+        lams = jnp.linspace(0.0, 1.0, n_steps + 1)
 
-    @jax.jit
-    def program(x0, key):
-        state = SMCState(
-            x0, jnp.zeros((n_particles,), jnp.float32),
-            log_prior(x0), log_density(x0),
-        )
-
-        def body(state, inp):
-            lam_old, lam_new, k = inp
-            state, ess, acc = smc_step(
-                state, log_density, log_prior, lam_old, lam_new, k,
-                ess_threshold=ess_threshold,
-                mh_step_size=mh_step_size, n_mh=n_mh,
+        @jax.jit
+        def program(x0, key):
+            _count_trace("smc")
+            state = SMCState(
+                x0, jnp.zeros((n_particles,), jnp.float32),
+                log_prior(x0), log_density(x0),
             )
-            return state, (ess, acc)
 
-        keys = jax.random.split(key, n_steps)
-        state, (ess_hist, acc_hist) = jax.lax.scan(
-            body, state, (lams[:-1], lams[1:], keys)
-        )
-        return state, ess_hist, acc_hist
+            def body(state, inp):
+                lam_old, lam_new, k = inp
+                state, ess, acc = smc_step(
+                    state, log_density, log_prior, lam_old, lam_new, k,
+                    ess_threshold=ess_threshold,
+                    mh_step_size=mh_step_size, n_mh=n_mh,
+                )
+                return state, (ess, acc)
+
+            keys = jax.random.split(key, n_steps)
+            state, (ess_hist, acc_hist) = jax.lax.scan(
+                body, state, (lams[:-1], lams[1:], keys)
+            )
+            return state, ess_hist, acc_hist
+
+        _SMC_CACHE.put(cache_key, (log_density,), program)
 
     state, ess_hist, acc_hist = program(x0, k_run)
     return state.particles, state.log_weights, {
@@ -596,11 +735,14 @@ def flow_mcmc(
     theta_n = flow.prepare_theta(theta, (n_chains,))
     model, base = flow.model, flow.base
 
-    chain_sharding = None
-    if mesh is not None:
-        from .parallel.mesh import data_sharding
+    chain_sharding = _particle_sharding(mesh)
 
-        chain_sharding = data_sharding(mesh, 2)
+    cache_key = (id(log_density), n_chains, n_steps, method,
+                 float(step_size), chain_sharding)
+    program = _MCMC_CACHE.get(cache_key, (log_density,))
+    if program is not None:
+        xs, acc = program(model, base, theta_n, key)
+        return xs[burn_in:], {"accept_rate": acc, "burn_in": burn_in}
 
     def constrain(a):
         if chain_sharding is not None:
@@ -608,7 +750,8 @@ def flow_mcmc(
         return a
 
     @jax.jit
-    def program(model, theta_n, key):
+    def program(model, base, theta_n, key):
+        _count_trace("mcmc")
         k_init, k_run = jax.random.split(key)
         z0 = constrain(base.sample(k_init, (n_chains,)))
         x0, ldj0 = model.forward(z0, theta_n)
@@ -654,7 +797,8 @@ def flow_mcmc(
         _, (xs, acc) = jax.lax.scan(body, state0, jax.random.split(k_run, n_steps))
         return xs, acc
 
-    xs, acc = program(model, theta_n, key)
+    _MCMC_CACHE.put(cache_key, (log_density,), program)
+    xs, acc = program(model, base, theta_n, key)
     return xs[burn_in:], {"accept_rate": acc, "burn_in": burn_in}
 
 

@@ -92,13 +92,21 @@ def masked_nll_loss(model, base, x, theta, mask, *, remat: bool = False,
     else:
         z, ldj = model.inverse(x, theta)
     per_sample = base.log_prob(z) + ldj
-    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    # epsilon (not 1.0) so the /Σw normalization holds even when importance
+    # weights sum below 1 (SNPE-B ratios can be ≪ 1); the epsilon only
+    # guards the all-padded batch, whose numerator is exactly 0
+    denom = jnp.maximum(jnp.sum(mask), 1e-12)
     return -jnp.sum(per_sample * mask) / denom
 
 
 def _eval_nll(model, base, x, theta):
     z, ldj = model.inverse(x, theta)
     return -jnp.mean(base.log_prob(z) + ldj)
+
+
+# one jitted program shared by evaluate() and train_streaming — an eager
+# full-split eval is op-by-op dispatch over the tunnel (~100 round trips)
+_eval_nll_jit = jax.jit(_eval_nll)
 
 
 def make_train_step(optimizer, *, remat: bool = False,
@@ -447,7 +455,9 @@ def evaluate(flow: Flow, data: DataArrays, split: str = "testing") -> float:
         raise ValueError(f"unknown split {split!r}")
     if x.shape[0] == 0:
         raise ValueError(f"split {split!r} is empty")
-    return float(_eval_nll(flow.model, flow.base, jnp.asarray(x), jnp.asarray(th)))
+    return float(
+        _eval_nll_jit(flow.model, flow.base, jnp.asarray(x), jnp.asarray(th))
+    )
 
 
 def batch_iterator(

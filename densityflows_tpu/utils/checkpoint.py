@@ -97,14 +97,24 @@ def element_spec(el) -> dict:
     """JSON-able structural description of a flow element (the analogue of
     the reference's ``save_element`` type/field encoding,
     Loading.jl:124-173). Dispatches through the :func:`register_element`
-    registry (nearest class in the MRO wins)."""
-    for klass in type(el).__mro__:
-        entry = _TO_SPEC.get(klass)
-        if entry is not None:
-            name, fn = entry
-            spec = dict(fn(el))
-            spec["type"] = name
-            return spec
+    registry — exact type only: an unregistered SUBCLASS of a registered
+    element would otherwise be silently saved under the base tag and
+    loaded back as the base class (wrong skeleton if the subclass adds
+    pytree leaves), so it raises instead."""
+    entry = _TO_SPEC.get(type(el))
+    if entry is not None:
+        name, fn = entry
+        spec = dict(fn(el))
+        spec["type"] = name
+        return spec
+    for klass in type(el).__mro__[1:]:
+        if klass in _TO_SPEC:
+            raise TypeError(
+                f"{type(el).__name__} subclasses registered element "
+                f"{klass.__name__} but is not registered itself — a "
+                "checkpoint would save/load it as the base class. Register "
+                "it with register_element(cls, to_spec, from_spec)."
+            )
     raise TypeError(
         f"don't know how to checkpoint {type(el).__name__}; register it "
         "with register_element(cls, to_spec, from_spec)"
@@ -159,19 +169,51 @@ register_element(
     ),
 )
 
+def _made_descriptor_from_spec(s: dict) -> tuple:
+    """Descriptor for a MaskedMLP spec. New specs store it directly
+    (``"made"``); legacy (round-2) specs stored the full mask grids — for
+    those, infer (d, n_cond, P) from the layer shapes by search and VERIFY
+    the regenerated masks match the stored ones exactly."""
+    from ..ops.made import made_masks
+
+    if "made" in s:
+        m = s["made"]
+        return (int(m[0]), int(m[1]), int(m[2]), tuple(int(h) for h in m[3]))
+    in_dim = s["weight_shapes"][0][0]
+    out_dim = s["weight_shapes"][-1][1]
+    hidden = tuple(int(sh[1]) for sh in s["weight_shapes"][:-1])
+    stored = [np.asarray(m, np.float32) for m in s["masks"]]
+    for p in range(1, out_dim + 1):
+        if out_dim % p:
+            continue
+        d = out_dim // p
+        n_cond = in_dim - d
+        if n_cond < 0:
+            continue
+        rebuilt = made_masks(d, n_cond, p, hidden)
+        if all(
+            a.shape == b.shape and np.array_equal(a, b)
+            for a, b in zip(rebuilt, stored)
+        ):
+            return (d, n_cond, p, hidden)
+    raise ValueError(
+        "legacy MaskedMLP checkpoint masks don't match any MADE descriptor"
+    )
+
+
 register_element(
     MaskedMLP,
     lambda el: {
         "weight_shapes": [list(w.shape) for w in el.weights],
         "bias_shapes": [list(b.shape) for b in el.biases],
-        "masks": [list(map(list, m)) for m in el.masks],
+        "made": [el.made[0], el.made[1], el.made[2], list(el.made[3])],
         "dtype": str(el.weights[0].dtype),
         "activation": el.activation,
     },
     lambda s: MaskedMLP(
         tuple(jnp.zeros(sh, jnp.dtype(s["dtype"])) for sh in s["weight_shapes"]),
         tuple(jnp.zeros(sh, jnp.dtype(s["dtype"])) for sh in s["bias_shapes"]),
-        tuple(tuple(map(tuple, m)) for m in s["masks"]),
+        _made_descriptor_from_spec(s),
         s["activation"],
     ),
 )

@@ -200,3 +200,71 @@ def test_run_smc_sharded():
     )
     assert particles.shape == (1024, 2)
     assert np.all(np.isfinite(np.asarray(particles)))
+
+
+# -- program caches (one compile per static config) ---------------------------
+
+
+def test_rejection_sampler_program_cached():
+    from densityflows_tpu import inference as inf
+
+    flow = _small_flow(key=11)
+    cond = lambda x: x[..., 0] > -100.0  # accept everything
+    inf.trace_counts.pop("rejection", None)
+    s1 = df.sample_with_rejection(flow, 32, cond, key=jax.random.key(1),
+                                  batch=128)
+    s2 = df.sample_with_rejection(flow, 32, cond, key=jax.random.key(2),
+                                  batch=128)
+    assert inf.trace_counts["rejection"] == 1, (
+        "second identically-configured call must reuse the compiled program"
+    )
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))  # keys differ
+    # a different static config compiles its own program
+    df.sample_with_rejection(flow, 32, cond, key=jax.random.key(3), batch=256)
+    assert inf.trace_counts["rejection"] == 2
+
+
+def test_rejection_sampler_mesh_matches_single_device():
+    from densityflows_tpu.parallel.mesh import make_mesh
+
+    flow = _small_flow(key=12)
+    cond = lambda x: x[..., 0] > 0.0
+    mesh = make_mesh()
+    s_mesh = df.sample_with_rejection(flow, 64, cond, key=jax.random.key(5),
+                                      batch=512, mesh=mesh)
+    s_mesh = np.asarray(s_mesh)
+    assert s_mesh.shape == (64, 2)
+    assert np.all(s_mesh[:, 0] > 0.0)
+    assert np.isfinite(s_mesh).all()
+
+
+def test_mcmc_program_cached():
+    from densityflows_tpu import inference as inf
+
+    flow = _small_flow(key=13)
+    logp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    inf.trace_counts.pop("mcmc", None)
+    df.flow_mcmc(flow, logp, n_chains=8, n_steps=20, burn_in=5,
+                 key=jax.random.key(1))
+    # different key AND different burn_in (applied outside the program)
+    df.flow_mcmc(flow, logp, n_chains=8, n_steps=20, burn_in=10,
+                 key=jax.random.key(2))
+    assert inf.trace_counts["mcmc"] == 1
+    df.flow_mcmc(flow, logp, n_chains=8, n_steps=20, burn_in=5,
+                 method="neutra", key=jax.random.key(3))
+    assert inf.trace_counts["mcmc"] == 2
+
+
+def test_smc_program_cached():
+    from densityflows_tpu import inference as inf
+
+    logp = lambda x: -0.5 * jnp.sum((x - 1.0) ** 2, axis=-1)
+    inf.trace_counts.pop("smc", None)
+    df.run_smc(logp, d=2, n_particles=128, n_steps=4, key=jax.random.key(1))
+    df.run_smc(logp, d=2, n_particles=128, n_steps=4, key=jax.random.key(2))
+    assert inf.trace_counts["smc"] == 1
+    # identity check: a NEW (even if identical) callable must NOT reuse
+    # the old program, which captured the old closure
+    logp2 = lambda x: -0.5 * jnp.sum((x - 1.0) ** 2, axis=-1)
+    df.run_smc(logp2, d=2, n_particles=128, n_steps=4, key=jax.random.key(3))
+    assert inf.trace_counts["smc"] == 2

@@ -71,3 +71,51 @@ def test_multiround_snpe_validates_simulator():
             lambda t: np.zeros(len(t)),
             [0.0], n_rounds=1, n_sims_per_round=64, epochs=1,
         )
+
+
+def test_mixture_proposal_density_removes_truncation_bias():
+    """Prior-support rejection makes the true proposal the mixture
+    q_flow + ε·prior; weights from that mixture must be unbiased where the
+    naive q_flow-only density is badly biased (VERDICT r2 item 5).
+
+    Setup: known 'flow' q_flow = N(0.9, 0.4) on 1-D, prior Uniform(0,1)
+    (≈41% of flow draws land outside the support and get replaced). Target
+    the prior itself: self-normalized importance estimate of E[θ] under
+    w = prior/q̃ must hit 0.5.
+    """
+    from densityflows_tpu.inference import propose_from_posterior
+
+    m, s = 0.9, 0.4
+
+    class FakeFlow:
+        def sample(self, dims, cond, *, key):
+            return m + s * np.asarray(jax.random.normal(key, (dims[0], 1)))
+
+        def log_prob(self, theta, cond):
+            t = np.asarray(theta)[:, 0]
+            return -0.5 * ((t - m) / s) ** 2 - np.log(s * np.sqrt(2 * np.pi))
+
+    def prior_sample(rng, n):
+        return rng.uniform(0, 1, size=(n, 1))
+
+    def prior_log_prob(th):
+        t = np.asarray(th)[:, 0]
+        return np.where((t >= 0) & (t <= 1), 0.0, -np.inf)
+
+    flow = FakeFlow()
+    theta, log_q = propose_from_posterior(
+        flow, [0.0], 50_000, prior_sample, prior_log_prob,
+        np.random.default_rng(0), jax.random.key(0),
+    )
+    t = theta[:, 0]
+    assert ((t >= 0) & (t <= 1)).all()  # every row in support
+    lp = prior_log_prob(theta)
+
+    w_corrected = np.exp(lp - log_q)
+    est_corrected = np.sum(w_corrected * t) / np.sum(w_corrected)
+
+    w_naive = np.exp(lp - flow.log_prob(theta, None))  # the old formula
+    est_naive = np.sum(w_naive * t) / np.sum(w_naive)
+
+    assert abs(est_corrected - 0.5) < 0.02, est_corrected
+    assert abs(est_naive - 0.5) > 0.08, est_naive  # the bias being fixed
