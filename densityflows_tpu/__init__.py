@@ -34,6 +34,7 @@ from .models.distributions import (
 )
 from .models.flow import Flow, nll_loss
 from .models.layers import (
+    JointRNVPCouplingLayer,
     NICECouplingLayer,
     RNVPCouplingLayer,
     RQSCouplingLayer,
@@ -111,6 +112,7 @@ __all__ = [
     "rnvp_forward", "rnvp_backward", "nice_forward", "nice_backward",
     # models
     "RNVPCouplingLayer", "NICECouplingLayer", "RQSCouplingLayer",
+    "JointRNVPCouplingLayer",
     "coupling_layer", "set_fused_kernels", "cast_conditioners",
     "NormalizationLayer", "normalization_layer",
     "PermutationLayer", "permutation_layer",

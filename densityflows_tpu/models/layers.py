@@ -38,6 +38,7 @@ from ..ops import coupling as C
 
 __all__ = [
     "RNVPCouplingLayer", "NICECouplingLayer", "RQSCouplingLayer",
+    "JointRNVPCouplingLayer",
     "coupling_layer", "set_fused_kernels", "use_fused",
     "cast_conditioners",
 ]
@@ -236,6 +237,67 @@ class RNVPCouplingLayer:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class JointRNVPCouplingLayer:
+    """Real-NVP coupling layer with a TWO-HEADED conditioner: ONE MLP
+    emits ``(s ‖ t)`` instead of separate s/t networks.
+
+    Same coupling math as :class:`RNVPCouplingLayer` (reference
+    src/affine/RNVP.jl:77-96, 168-187) — the difference is purely how
+    the conditioner is parameterized. The reference keeps separate
+    ``s_net``/``t_net`` (RNVP.jl:41-48) and the split
+    :class:`RNVPCouplingLayer` preserves that for parity; this form is
+    the standard RealNVP/Glow choice and the TPU-efficient one: half the
+    matmul count per layer, and the narrow badly-MXU-shaped matmuls
+    (first layer K = n+|id|, last layer N = |af|) occur once per layer
+    instead of twice, with the last head twice as wide (N = 2|af|).
+    Measured on v5e at the wide config: see README §Performance /
+    docs/design.md §10.
+
+    Build with ``coupling_layer(..., joint_conditioner=True)``.
+    """
+
+    st_net: MLP
+    axes: CouplingAxes = dataclasses.field(metadata=dict(static=True))
+    # tanh soft-clamp of the log-scale; 0.0 = unbounded (see
+    # RNVPCouplingLayer.max_log_scale)
+    max_log_scale: float = dataclasses.field(
+        metadata=dict(static=True), default=0.0)
+
+    def _conditioner(self, y, theta):
+        y_id, y_af = C.split_features(y, self.axes)
+        h = C.nn_input(y_id, theta)
+        out = apply_mlp(self.st_net, h)
+        a = self.axes.transform_dim
+        s, t = out[..., :a], out[..., a:]
+        if self.max_log_scale:
+            m = self.max_log_scale
+            s = m * jnp.tanh(s / m)
+        return y_id, y_af, s, t
+
+    def forward(self, z, theta):
+        z_id, z_af, s, t = self._conditioner(z, theta)
+        x_af, ldj = C.rnvp_forward(s, t, z_af)
+        return C.recombine_features(z_id, x_af, self.axes), ldj
+
+    def inverse(self, x, theta):
+        x_id, x_af, s, t = self._conditioner(x, theta)
+        z_af, ldj = C.rnvp_backward(s, t, x_af)
+        return C.recombine_features(x_id, z_af, self.axes), ldj
+
+    def forward_(self, z, theta):
+        z_id, z_af, s, t = self._conditioner(z, theta)
+        return C.recombine_features(z_id, z_af * jnp.exp(s) + t, self.axes)
+
+    def summarize(self) -> str:
+        return (
+            f"JointRNVPCouplingLayer | st_net > {list(self.st_net.dims)} "
+            f"({count_params(self.st_net)} parameters)\n"
+            f"                       | axes   > {self.axes.summarize()}"
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class NICECouplingLayer:
     """NICE additive (volume-preserving) coupling layer
     (reference src/affine/NICE.jl:31-38; trainable leaf: ``t_net``)."""
@@ -379,6 +441,7 @@ def coupling_layer(
     bound: float = 3.0,
     zero_init_final: bool = True,
     max_log_scale: float = 0.0,
+    joint_conditioner: bool = False,
 ):
     """Build a coupling layer with default conditioner MLPs.
 
@@ -402,6 +465,13 @@ def coupling_layer(
     step (its 5-D examples never hit this); identity-at-init is the
     standard RealNVP/Glow stabilization. Pass ``False`` for the
     reference's exact init.
+
+    ``joint_conditioner=True`` (RNVP only) builds a
+    :class:`JointRNVPCouplingLayer`: ONE conditioner MLP emitting
+    ``(s ‖ t)`` instead of two — half the matmuls per layer, the
+    TPU-efficient standard-RealNVP parameterization (the split default
+    preserves the reference's separate s/t nets). Requires the s/t
+    network hyperparameters to agree (one net serves both heads).
 
     ``max_log_scale`` (RNVP only, default 0 = off, reference semantics):
     when > 0, soft-clamps the log-scale to (−M, M) via ``M·tanh(s/M)``
@@ -427,6 +497,27 @@ def coupling_layer(
         key = jax.random.key(0)
     in_dim, out_dim = axes.nn_input_dim, axes.transform_dim
     k_s, k_t = jax.random.split(key)
+    if joint_conditioner:
+        if kind is not RNVPCouplingLayer:
+            raise ValueError(
+                "joint_conditioner=True is an RNVP parameterization "
+                f"(got kind={kind.__name__})"
+            )
+        if (n_sublayers_s, hidden_dim_s, activation_s) != (
+            n_sublayers_t, hidden_dim_t, activation_t
+        ):
+            raise ValueError(
+                "joint_conditioner=True uses ONE net for both heads — "
+                "the s/t hyperparameters must agree "
+                f"(got s=({n_sublayers_s}, {hidden_dim_s}, {activation_s!r}) "
+                f"vs t=({n_sublayers_t}, {hidden_dim_t}, {activation_t!r}))"
+            )
+        st_net = init_mlp(
+            k_s, in_dim, 2 * out_dim, n_sublayers_s,
+            hidden_dim=hidden_dim_s, activation=activation_s, bias=bias,
+            dtype=dtype, zero_final=zero_init_final,
+        )
+        return JointRNVPCouplingLayer(st_net, axes, float(max_log_scale))
     if kind is RQSCouplingLayer:
         from ..ops.spline import n_spline_params
 

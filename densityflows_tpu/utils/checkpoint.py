@@ -34,6 +34,7 @@ from ..models.distributions import (
 )
 from ..models.flow import Flow
 from ..models.layers import (
+    JointRNVPCouplingLayer,
     NICECouplingLayer,
     RNVPCouplingLayer,
     RQSCouplingLayer,
@@ -250,6 +251,20 @@ register_element(
         element_from_spec(s["t_net"]),
         _axes_from_spec(s["axes"]),
         float(s.get("max_log_scale", 0.0)),  # pre-field ckpts
+    ),
+)
+
+register_element(
+    JointRNVPCouplingLayer,
+    lambda el: {
+        "st_net": element_spec(el.st_net),
+        "axes": _axes_spec(el.axes),
+        "max_log_scale": float(el.max_log_scale),
+    },
+    lambda s: JointRNVPCouplingLayer(
+        element_from_spec(s["st_net"]),
+        _axes_from_spec(s["axes"]),
+        float(s.get("max_log_scale", 0.0)),
     ),
 )
 
