@@ -75,18 +75,27 @@ class StreamingLoader:
         self._epoch = 0
 
     @property
+    def _rows_per_host_padded(self) -> int:
+        # ceil split: every host is sized for the SAME padded row count,
+        # so every host runs the SAME number of batches per epoch —
+        # unequal step counts would deadlock SPMD collectives the moment
+        # this loader composes with a mesh (hosts with fewer real rows
+        # emit fully-masked padding batches instead)
+        return -(-self.x.shape[0] // self.num_hosts)
+
+    @property
     def rows_per_host(self) -> int:
-        # the global permutation is split into num_hosts contiguous chunks;
-        # trailing rows that don't divide evenly go to the last host
+        # REAL rows this host holds (its contiguous ceil-split chunk of
+        # the global permutation; late hosts may hold fewer)
         n = self.x.shape[0]
-        per = n // self.num_hosts
-        if self.host_id == self.num_hosts - 1:
-            return n - per * (self.num_hosts - 1)
-        return per
+        per = self._rows_per_host_padded
+        lo = min(self.host_id * per, n)
+        return min(lo + per, n) - lo
 
     @property
     def batches_per_epoch(self) -> int:
-        return -(-self.rows_per_host // self.batchsize)
+        # identical on every host (lockstep invariant)
+        return -(-self._rows_per_host_padded // self.batchsize)
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         n = self.x.shape[0]
@@ -94,9 +103,9 @@ class StreamingLoader:
             order = native.shuffle(self.seed * 0x9E3779B9 + epoch + 1, n)
         else:
             order = np.arange(n, dtype=np.int64)
-        per = n // self.num_hosts
-        lo = self.host_id * per
-        hi = n if self.host_id == self.num_hosts - 1 else lo + per
+        per = self._rows_per_host_padded
+        lo = min(self.host_id * per, n)
+        hi = min(lo + per, n)
         return order[lo:hi]
 
     def _assemble(self, idx: np.ndarray):
@@ -118,7 +127,10 @@ class StreamingLoader:
             epoch = self._epoch
             self._epoch += 1
         order = self._epoch_order(epoch)
-        starts = range(0, len(order), self.batchsize)
+        # iterate the PADDED range so every host yields the same batch
+        # count; starts beyond this host's real rows give all-masked
+        # batches (order[s:s+b] is empty → mask all zeros)
+        starts = range(0, self._rows_per_host_padded, self.batchsize)
         q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
         sentinel = object()
 

@@ -28,6 +28,7 @@ __all__ = [
     "distributed_init",
     "global_batch_from_host_local",
     "host_local_slice",
+    "host_local_rows",
 ]
 
 
@@ -148,6 +149,29 @@ def host_local_slice(n_global: int) -> slice:
     p, np_ = jax.process_index(), jax.process_count()
     per = -(-n_global // np_)
     return slice(p * per, min((p + 1) * per, n_global))
+
+
+def host_local_rows(mesh: Mesh, n_global: int) -> slice:
+    """The contiguous global-row range THIS process's devices hold under
+    the batch-axis ``data`` sharding of ``mesh`` — the exact slice to pass
+    to :func:`global_batch_from_host_local`. Derived from the sharding's
+    own device→index map (not assumed), so it stays correct for any mesh
+    whose per-process device shards are contiguous; raises otherwise."""
+    sharding = NamedSharding(mesh, P("data"))
+    idx_map = sharding.addressable_devices_indices_map((n_global,))
+    spans = []
+    for idx in idx_map.values():
+        s = idx[0]
+        spans.append((s.start or 0, n_global if s.stop is None else s.stop))
+    lo = min(s for s, _ in spans)
+    hi = max(e for _, e in spans)
+    if sum(e - s for s, e in spans) != hi - lo:
+        raise ValueError(
+            "this process's shards of the data axis are not contiguous — "
+            "reorder the mesh devices so each process owns a contiguous "
+            "row range (standard jax.devices() order does)"
+        )
+    return slice(lo, hi)
 
 
 def global_batch_from_host_local(mesh: Mesh, host_local: np.ndarray):

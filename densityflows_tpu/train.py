@@ -593,7 +593,15 @@ def train(
     if optimizer is None:
         optimizer = _default_adam()
     if key is None:
-        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+        seed = np.random.randint(0, 2**31 - 1)
+        if mesh is not None and jax.process_count() > 1:
+            # every process must run the program with the SAME key (the
+            # on-device shuffle is part of the SPMD program) — broadcast
+            # process 0's seed
+            from jax.experimental import multihost_utils
+
+            seed = int(multihost_utils.broadcast_one_to_all(np.int32(seed)))
+        key = jax.random.key(seed)
 
     if debug and epochs > _DEBUG_CHUNK and not _track_best:
         # chunked execution so a non-finite epoch loss raises within
@@ -649,16 +657,41 @@ def train(
             w_train, w_valid = pad_rows(w_train), pad_rows(w_valid)
 
     def put(arr):
-        arr = jnp.asarray(np.ascontiguousarray(arr))
-        if batch_sharding is not None:
-            return jax.device_put(arr, batch_sharding)
-        return arr
+        arr = np.ascontiguousarray(arr)
+        if batch_sharding is None:
+            return jnp.asarray(arr)
+        if jax.process_count() > 1:
+            # multi-process mesh: a bare device_put of the global array
+            # would try to address other hosts' devices and raise — each
+            # host contributes its row slice and jax assembles the global
+            # sharded array (SURVEY.md §2.2 DP disposition)
+            from .parallel.mesh import global_batch_from_host_local, host_local_rows
+
+            return global_batch_from_host_local(
+                mesh, arr[host_local_rows(mesh, arr.shape[0])]
+            )
+        from .parallel.mesh import data_sharding
+
+        return jax.device_put(jnp.asarray(arr), data_sharding(mesh, arr.ndim))
 
     xt, tht, xv, thv = put(x_train), put(th_train), put(x_valid), put(th_valid)
 
     model = flow.model
     if opt_state is None:
         opt_state = optimizer.init(model)
+    if mesh is not None and jax.process_count() > 1:
+        # params/optimizer state are replicated; on a multi-process mesh
+        # they must be explicit global arrays (every process holds the
+        # same host value, asserted identical by construction)
+        from .parallel.mesh import replicated
+
+        rep = replicated(mesh)
+        model = jax.tree_util.tree_map(
+            lambda l: jax.make_array_from_process_local_data(
+                rep, np.asarray(l)), model)
+        opt_state = jax.tree_util.tree_map(
+            lambda l: jax.make_array_from_process_local_data(
+                rep, np.asarray(l)), opt_state)
 
     program = make_train_program(
         optimizer, batchsize, epochs, shuffle,
@@ -672,8 +705,8 @@ def train(
     t0 = _time.perf_counter()
     if weights is not None:
         out = program(
-            model, opt_state, flow.base, xt, tht, jnp.asarray(w_train),
-            xv, thv, jnp.asarray(w_valid), key,
+            model, opt_state, flow.base, xt, tht, put(w_train),
+            xv, thv, put(w_valid), key,
         )
     else:
         out = program(model, opt_state, flow.base, xt, tht, xv, thv, key)

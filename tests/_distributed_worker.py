@@ -1,0 +1,94 @@
+"""Worker process for the 2-process ``jax.distributed`` DP tests.
+
+Launched by tests/test_multihost.py (and by ``__graft_entry__.py``'s
+multiprocess smoke): each of 2 processes gets 4 virtual CPU devices,
+joins a shared coordination service, and runs the REAL multi-host path —
+``train(mesh=...)`` assembling its per-host rows into globally-sharded
+arrays via ``jax.make_array_from_process_local_data``
+(parallel/mesh.py:global_batch_from_host_local), plus a checkpoint
+save (process 0) / load (both) roundtrip across the process barrier.
+
+Writes ``result_<pid>.json`` with the loss histories so the parent can
+assert cross-process agreement and equality with a single-process run
+on the same 8-device mesh.
+
+usage: python _distributed_worker.py <pid> <port> <out_dir> [epochs]
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    out_dir = sys.argv[3]
+    epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
+    # 4 virtual CPU devices per process, BEFORE any backend use
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from densityflows_tpu.parallel.mesh import distributed_init, make_mesh
+
+    distributed_init(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+    assert jax.process_count() == 2
+    assert jax.local_device_count() == 4 and jax.device_count() == 8
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+
+    import densityflows_tpu as df
+
+    # identical dataset + flow construction on every host (deterministic)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(512, 4)).astype(np.float32)
+    th = rng.uniform(0, 1, size=(512, 2)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+    chain = df.flow_chain(
+        df.coupling_block(data, None, key=jax.random.key(0),
+                          hidden_dim_s=16, hidden_dim_t=16),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    flow = df.Flow(chain, data)
+    mesh = make_mesh((8,), ("data",))
+
+    optimizer = optax.adam(1e-3)
+    opt_state = df.train(
+        flow, data, optimizer, epochs=epochs, batchsize=64, mesh=mesh,
+        key=jax.random.key(7), verbose=False,
+    )
+    assert np.isfinite(flow.train_loss).all()
+    assert np.isfinite(flow.valid_loss).all()
+
+    # checkpoint across the process barrier: host 0 writes, both load
+    from jax.experimental import multihost_utils
+
+    ckpt = os.path.join(out_dir, "ckpt")
+    if pid == 0:
+        df.save_flow(ckpt, flow, opt_state, erase=True)
+    multihost_utils.sync_global_devices("densityflows:ckpt_written")
+    restored, restored_opt = df.load_flow(ckpt, optimizer)
+    lp_live = np.asarray(flow.log_prob(jnp.asarray(x[:8]), th[:8]))
+    lp_ckpt = np.asarray(restored.log_prob(jnp.asarray(x[:8]), th[:8]))
+    assert np.allclose(lp_live, lp_ckpt, atol=1e-6), (lp_live, lp_ckpt)
+    assert restored_opt is not None
+
+    with open(os.path.join(out_dir, f"result_{pid}.json"), "w") as f:
+        json.dump(
+            {
+                "pid": pid,
+                "train_loss": [float(v) for v in flow.train_loss],
+                "valid_loss": [float(v) for v in flow.valid_loss],
+                "ckpt_roundtrip_ok": True,
+            },
+            f,
+        )
+
+
+if __name__ == "__main__":
+    main()
