@@ -131,10 +131,108 @@ def _sample_rate(flow, n_draws, theta):
     return _scan_rate(make, n_draws, jax.random.key(3))
 
 
+def _damp_final_weights(jax, df, chain, factor=0.05):
+    """Scale every conditioner MLP's final weight/bias so s stays ~±0.2:
+    parity chains need NON-zero conditioners (zero-init would make the
+    conditioner path invisible to the gate) but raw glorot nets overflow
+    exp(s) through 8 couplings — measured ~6e-5 of draws non-finite in
+    the pure-jnp fold too, so damping, not the kernel, is the fix."""
+    from densityflows_tpu.ops.mlp import MLP
+
+    def damp(node):
+        if isinstance(node, MLP):
+            ws = list(node.weights)
+            ws[-1] = ws[-1] * factor
+            return MLP(tuple(ws), node.biases, node.activation)
+        return node
+
+    return jax.tree_util.tree_map(
+        damp, chain, is_leaf=lambda n: isinstance(n, MLP)
+    )
+
+
+def _fused_parity(jax, jnp, df, chain, base, d, n_cond, theta1):
+    """On-hardware parity gate for the TPU-only fused paths (VERDICT r2
+    item 4): the CPU interpreter stubs the in-kernel PRNG to zeros and
+    skips real Mosaic lowering, so ONLY a real-chip check catches the
+    bug class that produced the round-2 sign-extension NaNs
+    (docs/design.md §3b). Computes
+
+    - max |Δ log_prob| between the fused whole-chain kernel and the jnp
+      oracle at the wide config, and
+    - per-dim moment errors of the in-kernel-PRNG sampler vs the jnp
+      sampling path (same chain, Monte-Carlo tolerance),
+
+    and FAILS LOUDLY (raises) past tolerance so a silent Mosaic change
+    cannot ship through the driver's bench run."""
+    from densityflows_tpu.models import fused_chain as fc
+
+    rows = 8192
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+    th = jnp.asarray(np.broadcast_to(
+        np.asarray(theta1, np.float32), (rows, n_cond)).copy())
+
+    z_o, ldj_o = jax.jit(
+        lambda c, xx, tt: fc._jnp_chain(c, xx, tt, "inv", True)
+    )(chain, x, th)
+    lp_oracle = np.asarray(base.log_prob(z_o) + ldj_o)
+
+    fused = fc.maybe_apply_fused(chain, x, th, "inv", True)
+    if fused is None:
+        raise RuntimeError(
+            "fused whole-chain path did not route at the wide config — "
+            "the parity gate has nothing to check (routing regression?)"
+        )
+    z_f, ldj_f = fused
+    lp_fused = np.asarray(base.log_prob(z_f) + ldj_f)
+    logprob_err = float(np.max(np.abs(lp_fused - lp_oracle)))
+    scale = float(np.median(np.abs(lp_oracle))) + 1.0
+    if not np.isfinite(logprob_err) or logprob_err > 5e-3 * scale + 0.05:
+        raise RuntimeError(
+            f"fused chain log_prob diverged from the jnp oracle: "
+            f"max err {logprob_err} (median |logp| {scale})"
+        )
+
+    # in-kernel PRNG sampling: moments vs the jnp sampling path
+    n_draws = 1 << 18
+    s_f = fc.maybe_sample_fused(
+        chain, jax.random.key(11), n_draws, d,
+        jnp.asarray(np.asarray(theta1, np.float32)).reshape(1, n_cond))
+    if s_f is None:
+        raise RuntimeError("in-kernel sampler did not route at wide config")
+    s_f = np.asarray(s_f)
+    r = base.sample(jax.random.key(12), (n_draws,))
+    s_o = np.asarray(jax.jit(
+        lambda c, rr, tt: fc._jnp_chain(c, rr, tt, "fwd", False)
+    )(chain, r, jnp.broadcast_to(
+        jnp.asarray(np.asarray(theta1, np.float32)), (n_draws, n_cond))))
+    if not np.isfinite(s_f).all():
+        raise RuntimeError("in-kernel sampler produced non-finite draws "
+                           "(the round-2 PRNG sign-extension bug class)")
+    se = s_o.std(0) / np.sqrt(n_draws)
+    mean_err = np.abs(s_f.mean(0) - s_o.mean(0))
+    std_ratio = s_f.std(0) / s_o.std(0)
+    moment_err = float(np.max(mean_err / (8 * se)))  # <1 → within 8σ MC
+    if moment_err > 1.0 or np.abs(std_ratio - 1).max() > 0.05:
+        raise RuntimeError(
+            f"in-kernel-PRNG sampling moments diverged: mean_err/8se="
+            f"{moment_err}, std ratios {std_ratio}"
+        )
+    return {
+        "fused_parity_max_err": round(logprob_err, 6),
+        "fused_sample_moment_err": round(moment_err, 4),
+    }
+
+
 def _bench_wide(jax, jnp, df):
-    """Flagship emulator config: d=32, n=8, hidden 256, 4 coupling blocks,
-    batch 8192. Train steps scanned at two lengths (dispatch-cancelled);
-    sampling via the auto-routed path (whole-chain kernel at this size)."""
+    """Flagship emulator config (BASELINE config 3): d=32, n=8, hidden 256,
+    4 coupling blocks, batch 8192, JOINT (s ‖ t) conditioners — measured
+    1.79x the split form at equal MFU (docs/design.md §10), so the joint
+    parameterization is the flagship from round 3 on; the split form
+    (exact reference parameterization) is reported alongside for
+    cross-round continuity. Train steps scanned at two lengths
+    (dispatch-cancelled); sampling via the auto-routed path."""
     import optax
 
     from densityflows_tpu.train import make_train_step
@@ -143,14 +241,21 @@ def _bench_wide(jax, jnp, df):
     rng = np.random.default_rng(0)
     x_ref = rng.normal(size=(512, d)).astype(np.float32)
     keys = jax.random.split(jax.random.key(0), n_blocks)
-    chain = df.flow_chain(
-        *[
-            df.coupling_block(d, None, n=n_cond, key=k,
-                              hidden_dim_s=hidden, hidden_dim_t=hidden)
-            for k in keys
-        ],
-        df.normalization_layer(x_ref, -1.0, 1.0),
-    )
+
+    def build(joint, zero_init=True):
+        return df.flow_chain(
+            *[
+                df.coupling_block(d, None, n=n_cond, key=k,
+                                  hidden_dim_s=hidden, hidden_dim_t=hidden,
+                                  joint_conditioner=joint,
+                                  zero_init_final=zero_init)
+                for k in keys
+            ],
+            df.normalization_layer(x_ref, -1.0, 1.0),
+        )
+
+    chain = build(True)          # flagship: joint conditioners
+    chain_split = build(False)   # reference parameterization, for continuity
     base = df.StandardNormal(d)
     optimizer = optax.adam(1e-3)
     # mixed precision: bf16 conditioner MXU passes, f32 master state —
@@ -161,7 +266,6 @@ def _bench_wide(jax, jnp, df):
     theta = jnp.asarray(
         rng.uniform(0, 1, size=(batch, n_cond)).astype(np.float32))
     mask = jnp.ones((batch,), jnp.float32)
-    opt_state = optimizer.init(chain)
 
     def make_train_scan(m):
         @jax.jit
@@ -177,10 +281,12 @@ def _bench_wide(jax, jnp, df):
 
         return run
 
-    # ~1 ms/step at this config: a 6-step gap (~6 ms) drowns in tunnel
+    # ~0.4-1 ms/step at this config: a 6-step gap (~6 ms) drowns in tunnel
     # jitter — use a 56-step gap so the signal dominates
-    train_sps = _scan_rate(make_train_scan, batch, chain, opt_state,
-                           m1=8, m2=64)
+    train_sps = _scan_rate(make_train_scan, batch, chain,
+                           optimizer.init(chain), m1=8, m2=64)
+    split_sps = _scan_rate(make_train_scan, batch, chain_split,
+                           optimizer.init(chain_split), m1=8, m2=64)
 
     n_draws = 1 << 18
     theta1 = theta[:1]
@@ -202,9 +308,23 @@ def _bench_wide(jax, jnp, df):
 
     sample_dps = _scan_rate(make_sample_scan, n_draws, jax.random.key(1))
 
+    # on-hardware fused-path parity gate (raises on divergence) — gates
+    # BOTH conditioner parameterizations, on chains with NON-zero damped
+    # random conditioners so the whole conditioner path is exercised
+    parity_j = _fused_parity(
+        jax, jnp, df, _damp_final_weights(jax, df, build(True, False)),
+        base, d, n_cond, np.asarray(theta[0]))
+    parity_s = _fused_parity(
+        jax, jnp, df, _damp_final_weights(jax, df, build(False, False)),
+        base, d, n_cond, np.asarray(theta[0]))
+    parity = {
+        k: max(parity_j[k], parity_s[k]) for k in parity_j
+    }
+
     # roofline/MFU: conditioner matmul FLOPs per sample; training ≈ 3×
     # forward (backward re-does each matmul twice: dL/dW and dL/dx)
     fwd_flops = _mlp_flops_per_sample(chain)
+    fwd_flops_split = _mlp_flops_per_sample(chain_split)
     peak, kind = _device_peak_flops(jax)
     return {
         "train_sps": train_sps,
@@ -213,8 +333,12 @@ def _bench_wide(jax, jnp, df):
         "train_mfu": train_sps * 3 * fwd_flops / peak,
         "sample_mfu": sample_dps * fwd_flops / peak,
         "flops_per_sample_fwd": fwd_flops,
+        "split_train_sps": split_sps,
+        "split_train_mfu": split_sps * 3 * fwd_flops_split / peak,
+        "split_flops_per_sample_fwd": fwd_flops_split,
         "peak_tflops_bf16": peak / 1e12,
         "device_kind": kind,
+        **parity,
     }
 
 
@@ -315,6 +439,16 @@ def main():
                 "wide_train_mfu": round(wide["train_mfu"], 4),
                 "wide_sample_mfu": round(wide["sample_mfu"], 4),
                 "wide_flops_per_sample_fwd": wide["flops_per_sample_fwd"],
+                "wide_config": "joint(s||t) conditioner, d=32 h=256 x4 "
+                               "blocks, batch 8192, mixed_precision "
+                               "(flagship since r3; design.md §10)",
+                "wide_split_train_samples_per_sec": round(
+                    wide["split_train_sps"], 1),
+                "wide_split_train_mfu": round(wide["split_train_mfu"], 4),
+                "wide_split_flops_per_sample_fwd":
+                    wide["split_flops_per_sample_fwd"],
+                "fused_parity_max_err": wide["fused_parity_max_err"],
+                "fused_sample_moment_err": wide["fused_sample_moment_err"],
                 "peak_tflops_bf16": wide["peak_tflops_bf16"],
                 "device_kind": wide["device_kind"],
                 "timing": "two-point dispatch-cancelled (docs/design.md §3)",

@@ -47,7 +47,12 @@ from ..ops.pallas_chain import (
     run_chain_sample,
 )
 from .glow import ActNormLayer, InvertibleLinearLayer
-from .layers import NICECouplingLayer, RNVPCouplingLayer, use_fused_chain
+from .layers import (
+    JointRNVPCouplingLayer,
+    NICECouplingLayer,
+    RNVPCouplingLayer,
+    use_fused_chain,
+)
 from .normalization import LogitLayer, NormalizationLayer, PermutationLayer
 
 __all__ = ["maybe_apply_fused", "maybe_sample_fused", "chain_is_fusable"]
@@ -84,6 +89,10 @@ def _coupling_entry(layer, dirn):
       exactly 0 on identity dims — the elementwise transform
       ``y = x·exp(s_full) + t_full`` is then the whole coupling.
     """
+    if isinstance(layer, JointRNVPCouplingLayer):
+        if layer.max_log_scale:
+            raise _Unsupported  # tanh-clamped s: jnp path only
+        return _joint_coupling_entry(layer, dirn)
     if isinstance(layer, RNVPCouplingLayer):
         if layer.max_log_scale:
             raise _Unsupported  # tanh-clamped s: jnp path only
@@ -128,6 +137,51 @@ def _coupling_entry(layer, dirn):
     n_t, act_t, bias_t = fold_net(t_net)
     op = ("coupling", kind, dirn, n_s, n_t, act_s, act_t, bias_s, bias_t,
           has_th, has_id)
+    return op, params
+
+
+def _joint_coupling_entry(layer, dirn):
+    """Joint (two-headed) coupling: the shared stack folds like a plain
+    net, but the final (H, 2|af|) weight splits into TWO (H, d) folded
+    heads — s columns scattered to af positions, t columns likewise —
+    executed by the kernel's ``("coupling", "joint", …)`` op as ONE
+    shared-stack pass + two head matmuls (ops/pallas_chain.py)."""
+    net = layer.st_net
+    ax = layer.axes
+    if ax.transform_dim == 0 or ax.nn_input_dim == 0:
+        raise _Unsupported
+    d, n = ax.d, ax.n
+    a = ax.transform_dim
+    id_idx = np.asarray(ax.axis_id, np.int32)
+    af_idx = np.asarray(ax.axis_af, np.int32)
+    has_th, has_id = n > 0, len(id_idx) > 0
+    has_bias = bool(net.biases[0].shape[0]) if net.biases else False
+    ws = [jnp.asarray(w, jnp.float32) for w in net.weights]
+    n_layers = len(ws)
+    if n_layers < 2:
+        raise _Unsupported  # a single dense layer has no shared stack
+
+    params = []
+    w0 = ws[0]
+    if has_th:
+        params.append(w0[:n])
+    if has_id:
+        w1x = jnp.zeros((d, w0.shape[1]), jnp.float32)
+        params.append(w1x.at[id_idx].set(w0[n:]))
+    params.extend(ws[1:-1])
+    wf = ws[-1]  # (H, 2a): columns [:a] are the s head, [a:] the t head
+    for head in (wf[:, :a], wf[:, a:]):
+        scat = jnp.zeros((wf.shape[0], d), jnp.float32)
+        params.append(scat.at[:, af_idx].set(head))
+    if has_bias:
+        for b in net.biases[:-1]:
+            params.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
+        bf = jnp.asarray(net.biases[-1], jnp.float32)
+        for head in (bf[:a], bf[a:]):
+            scat = jnp.zeros((1, d), jnp.float32)
+            params.append(scat.at[0, af_idx].set(head))
+    op = ("coupling", "joint", dirn, n_layers, 0, net.activation,
+          net.activation, has_bias, False, has_th, has_id)
     return op, params
 
 
@@ -184,7 +238,8 @@ def _logit_entry(layer, dirn):
 
 
 def _entry(layer, dirn):
-    if isinstance(layer, (RNVPCouplingLayer, NICECouplingLayer)):
+    if isinstance(layer, (RNVPCouplingLayer, NICECouplingLayer,
+                          JointRNVPCouplingLayer)):
         return _coupling_entry(layer, dirn)
     if isinstance(layer, NormalizationLayer):
         return _normalization_entry(layer, dirn)
@@ -232,13 +287,20 @@ def _max_hidden(chain) -> int:
     auto-gate thresholds on (layers.use_fused_chain)."""
     h = 0
     for layer in _iter_layers(chain, "fwd"):
-        if isinstance(layer, (RNVPCouplingLayer, NICECouplingLayer)):
-            nets = ([layer.s_net] if isinstance(layer, RNVPCouplingLayer)
-                    else []) + [layer.t_net]
-            for net in nets:
-                for w in net.weights[:-1]:
-                    h = max(h, int(np.shape(w)[-1]))
+        for net in _conditioner_nets(layer):
+            for w in net.weights[:-1]:
+                h = max(h, int(np.shape(w)[-1]))
     return h
+
+
+def _conditioner_nets(layer):
+    if isinstance(layer, RNVPCouplingLayer):
+        return (layer.s_net, layer.t_net)
+    if isinstance(layer, NICECouplingLayer):
+        return (layer.t_net,)
+    if isinstance(layer, JointRNVPCouplingLayer):
+        return (layer.st_net,)
+    return ()
 
 
 def chain_is_fusable(chain, d: int, n: int) -> bool:
@@ -248,12 +310,14 @@ def chain_is_fusable(chain, d: int, n: int) -> bool:
 
         shapes = []
         for layer in _iter_layers(chain, "fwd"):
-            if isinstance(layer, (RNVPCouplingLayer, NICECouplingLayer)):
-                nets = ([layer.s_net] if isinstance(layer, RNVPCouplingLayer)
-                        else []) + [layer.t_net]
+            if isinstance(layer, (RNVPCouplingLayer, NICECouplingLayer,
+                                  JointRNVPCouplingLayer)):
                 if layer.axes.transform_dim == 0 or layer.axes.nn_input_dim == 0:
                     return False
-                for net in nets:
+                if (isinstance(layer, JointRNVPCouplingLayer)
+                        and len(layer.st_net.weights) < 2):
+                    return False
+                for net in _conditioner_nets(layer):
                     shapes.extend(net.weights)
             elif isinstance(layer, InvertibleLinearLayer):
                 shapes.append(layer.lower)

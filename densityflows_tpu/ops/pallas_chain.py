@@ -39,6 +39,10 @@ Op codes (``plan`` entries; ``P`` = number of params consumed):
   (bf16 MXU passes never touch x), and needs zero selection matmuls.
   Params per net: first-layer weights (1 or 2), hidden weights
   (n_layers−2), folded final weight, then n_layers biases when present.
+  Kind ``"joint"`` (the two-headed ``JointRNVPCouplingLayer``) runs ONE
+  shared stack whose activations hit TWO folded (H, d) head weights —
+  params: first-layer blocks, n_layers−2 hidden weights, s-head weight,
+  t-head weight, then n_layers−1 stack biases + 2 head biases.
 - ``("affine",)`` — elementwise ``x·a + b`` with constant per-sample ldj.
   Params: ``a`` (1,d), ``b`` (1,d), ``c`` (1,1). Covers
   Normalization/ActNorm layers, whose scale/shift/ldj are precomputed
@@ -107,6 +111,12 @@ def _net_param_count(n_layers, has_bias, has_th, has_id) -> int:
 
 def coupling_param_count(op) -> int:
     _, kind, _, n_s, n_t, _, _, bias_s, bias_t, has_th, has_id = op
+    if kind == "joint":
+        # shared stack of n_s dense layers whose FINAL layer splits into
+        # two folded (H, d) heads: first-layer blocks + (n_s−2) hidden
+        # weights + 2 head weights; biases = (n_s−1) stack + 2 head
+        w = (1 if has_th else 0) + (1 if has_id else 0) + (n_s - 2) + 2
+        return w + ((n_s + 1) if bias_s else 0)
     c = _net_param_count(n_t, bias_t, has_th, has_id)
     if kind == "nvp":
         c += _net_param_count(n_s, bias_s, has_th, has_id)
@@ -162,20 +172,62 @@ def _folded_mlp(x, th, ws, bs, act, n_layers, has_th, has_id):
     return a
 
 
+def _joint_mlp(x, th, prefs, op):
+    """Two-headed conditioner: ONE shared stack, its activations hitting
+    TWO folded (H, d) head weights — (s_full, t_full) from one pass (the
+    JointRNVPCouplingLayer parameterization, models/layers.py)."""
+    _, _, _, n_layers, _, act, _, has_bias, _, has_th, has_id = op
+    n_w = (1 if has_th else 0) + (1 if has_id else 0) + (n_layers - 2) + 2
+    ws = prefs[:n_w]
+    bs = prefs[n_w:] if has_bias else []
+    i = 0
+    u = None
+    if has_th:
+        u = jnp.dot(th, ws[i][:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+        i += 1
+    if has_id:
+        ux = jnp.dot(x, ws[i][:].astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        u = ux if u is None else u + ux
+        i += 1
+    if has_bias:
+        u = u + bs[0][:].astype(jnp.float32)
+    a = _act(act, u)
+    for layer in range(1, n_layers - 1):  # hidden stack (shared)
+        u = jnp.dot(a, ws[i][:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+        i += 1
+        if has_bias:
+            u = u + bs[layer][:].astype(jnp.float32)
+        a = _act(act, u)
+    s_full = jnp.dot(a, ws[i][:].astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    t_full = jnp.dot(a, ws[i + 1][:].astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    if has_bias:
+        s_full = s_full + bs[n_layers - 1][:].astype(jnp.float32)
+        t_full = t_full + bs[n_layers][:].astype(jnp.float32)
+    return s_full, t_full
+
+
 def _apply_coupling(op, prefs, x, th, ldj):
     (_, kind, dirn, n_s, n_t, act_s, act_t, bias_s, bias_t,
      has_th, has_id) = op
     k = 0
-    if kind == "nvp":
+    if kind == "joint":
+        s_full, t_full = _joint_mlp(x, th, prefs, op)
+    elif kind == "nvp":
         ws, bsb, k = _net_refs(prefs, k, n_s, bias_s, has_th, has_id)
         s_full = _folded_mlp(x, th, ws, bsb, act_s, n_s, has_th, has_id)
-    wt, btb, k = _net_refs(prefs, k, n_t, bias_t, has_th, has_id)
-    t_full = _folded_mlp(x, th, wt, btb, act_t, n_t, has_th, has_id)
+    if kind != "joint":
+        wt, btb, k = _net_refs(prefs, k, n_t, bias_t, has_th, has_id)
+        t_full = _folded_mlp(x, th, wt, btb, act_t, n_t, has_th, has_id)
 
     # s_full/t_full are exactly 0 on identity dims (folded scatter), so
     # the full-width transform IS the coupling: identity dims see
     # x·exp(0)+0 = x. Math parity: RNVP.jl:77-96, 168-187.
-    if kind == "nvp":
+    if kind in ("nvp", "joint"):
         if dirn == "fwd":
             x = x * jnp.exp(s_full) + t_full
             if ldj is not None:

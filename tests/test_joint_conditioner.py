@@ -135,12 +135,39 @@ def test_joint_trains_and_checkpoints(tmp_path):
     )
 
 
-def test_joint_excluded_from_fused_chain():
-    from densityflows_tpu.models.fused_chain import chain_is_fusable
+@pytest.mark.parametrize("dirn", ["fwd", "inv"])
+def test_joint_fused_chain_matches_oracle(dirn):
+    """The whole-chain kernel's ("coupling", "joint", …) op — shared
+    stack + two folded heads — against the per-layer jnp fold
+    (interpreter mode on CPU)."""
+    from densityflows_tpu.models import layers as L
+    from densityflows_tpu.models.fused_chain import maybe_apply_fused
 
+    d, n = 6, 2
+    ks = jax.random.split(jax.random.key(0), 3)
+    rng = np.random.default_rng(0)
+    x_ref = rng.normal(size=(64, d)).astype(np.float32)
     chain = df.flow_chain(
-        df.coupling_layer(16, 8, key=jax.random.key(0),
-                          joint_conditioner=True, hidden_dim_s=64,
-                          hidden_dim_t=64),
+        df.coupling_layer(d, [0, 1, 2], n=n, key=ks[0],
+                          joint_conditioner=True, zero_init_final=False),
+        df.coupling_block(d, None, n=n, key=ks[1], joint_conditioner=True,
+                          zero_init_final=False),
+        # mix with a split layer + normalization to cover plan composition
+        df.coupling_layer(d, [1, 3, 5], n=n, key=ks[2],
+                          zero_init_final=False),
+        df.normalization_layer(x_ref, -1.0, 1.0),
     )
-    assert not chain_is_fusable(chain, 16, 0)
+    x = jax.random.normal(jax.random.key(5), (37, d)) * 0.5
+    theta = jax.random.uniform(jax.random.key(6), (37, n))
+    L.set_fused_kernels(True)
+    try:
+        out = maybe_apply_fused(chain, x, theta, dirn, True)
+        assert out is not None, "joint chain should be fusable"
+    finally:
+        L.set_fused_kernels("auto")
+    ref = (chain.forward(x, theta) if dirn == "fwd"
+           else chain.inverse(x, theta))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               rtol=2e-5, atol=2e-5)
