@@ -29,6 +29,8 @@ __all__ = [
     "global_batch_from_host_local",
     "host_local_slice",
     "host_local_rows",
+    "put_global",
+    "put_replicated",
 ]
 
 
@@ -186,6 +188,33 @@ def global_batch_from_host_local(mesh: Mesh, host_local: np.ndarray):
     if jax.process_count() == 1:
         return jax.device_put(host_local, sharding)
     return jax.make_array_from_process_local_data(sharding, host_local)
+
+
+def put_global(mesh: Mesh, arr: np.ndarray):
+    """Place a host array as the batch-axis-sharded GLOBAL array, safely on
+    single- AND multi-process meshes: multi-process, each host contributes
+    its :func:`host_local_rows` slice via
+    ``jax.make_array_from_process_local_data`` (a bare ``device_put`` of
+    the global array would try to address other hosts' devices and
+    raise). Every process must pass the same global ``arr`` rows it owns."""
+    arr = np.ascontiguousarray(arr)
+    if jax.process_count() > 1:
+        return global_batch_from_host_local(
+            mesh, arr[host_local_rows(mesh, arr.shape[0])]
+        )
+    return jax.device_put(arr, data_sharding(mesh, np.ndim(arr)))
+
+
+def put_replicated(mesh: Mesh, tree):
+    """Place a pytree fully replicated over ``mesh``, safely on single- AND
+    multi-process meshes (every process must hold the same host values —
+    params/optimizer state built deterministically on each host)."""
+    rep = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda l: jax.make_array_from_process_local_data(
+                rep, np.asarray(l)), tree)
+    return jax.device_put(tree, rep)
 
 
 def distributed_init(

