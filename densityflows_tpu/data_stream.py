@@ -35,6 +35,9 @@ from . import native
 __all__ = ["StreamingLoader", "train_streaming"]
 
 
+_mask_sum = jax.jit(jnp.sum)
+
+
 class StreamingLoader:
     """Deterministic, double-buffered batch loader over host arrays.
 
@@ -167,8 +170,9 @@ def train_streaming(
     seed: int = 0,
     valid_data: tuple | None = None,
     verbose: bool = True,
-    host_id: int = 0,
-    num_hosts: int = 1,
+    host_id: int | None = None,
+    num_hosts: int | None = None,
+    mesh=None,
     metrics_log: str | None = None,
 ):
     """Stream-train a flow from host (possibly memory-mapped) arrays.
@@ -177,9 +181,29 @@ def train_streaming(
     contract as ``train``, src/Flows.jl:391-392); raw arrays stay on the
     host. ``valid_data = (x_valid, theta_valid)`` (raw, un-normalized)
     adds a per-epoch validation NLL. Returns ``opt_state``.
+
+    ``mesh``: shard each batch over the mesh ``data`` axis — the gradient
+    psum is inserted by GSPMD, so streaming composes with DP. On a
+    multi-process mesh each host streams ITS OWN loader shard
+    (``host_id``/``num_hosts`` default to the process index/count) and
+    the global batch of ``batchsize × num_hosts`` rows is assembled with
+    ``jax.make_array_from_process_local_data``; the loader's ceil-split
+    guarantees every host runs the SAME batch count per epoch (lockstep —
+    unequal step counts would deadlock the psum).
     """
     from .data import normalize_input
     from .train import make_train_step, _default_adam, _eval_nll_jit
+
+    multiproc = mesh is not None and jax.process_count() > 1
+    if host_id is None:
+        host_id = jax.process_index() if multiproc else 0
+    if num_hosts is None:
+        num_hosts = jax.process_count() if multiproc else 1
+    if multiproc and num_hosts != jax.process_count():
+        raise ValueError(
+            f"on a multi-process mesh num_hosts ({num_hosts}) must equal "
+            f"jax.process_count() ({jax.process_count()})"
+        )
 
     if optimizer is None:
         optimizer = _default_adam()
@@ -188,6 +212,25 @@ def train_streaming(
         x, theta, batchsize=batchsize, shuffle=shuffle, seed=seed,
         host_id=host_id, num_hosts=num_hosts,
     )
+
+    batch_sharding = mask_sharding = None
+    if mesh is not None:
+        from .parallel.mesh import data_sharding, put_replicated
+
+        batch_sharding = data_sharding(mesh, 2)
+        mask_sharding = data_sharding(mesh, 1)
+        if multiproc:
+            flow.model = put_replicated(mesh, flow.model)
+            if opt_state is not None:
+                opt_state = put_replicated(mesh, opt_state)
+
+    def place(arr, sharding):
+        arr = np.ascontiguousarray(arr)
+        if sharding is None:
+            return jnp.asarray(arr)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
 
     model = flow.model
     if opt_state is None:
@@ -215,15 +258,24 @@ def train_streaming(
     for e in range(epochs):
         losses, weights = [], []
         for xb, thb, mask in loader.epoch(e):
+            mask_g = place(mask, mask_sharding)
             model, opt_state, loss = step(
                 model, opt_state, flow.base,
-                jnp.asarray(xb), jnp.asarray(norm_theta(thb)),
-                jnp.asarray(mask),
+                place(xb, batch_sharding),
+                place(norm_theta(thb), batch_sharding),
+                mask_g,
             )
             # keep losses on device — a float() here would sync per batch
             # and serialize host assembly against device compute
             losses.append(loss)
-            weights.append(float(mask.sum()))
+            if multiproc:
+                # the loss is the GLOBAL masked NLL (psum'd in-program), so
+                # the epoch weighting needs the GLOBAL mask sum
+                weights.append(_mask_sum(mask_g))
+            else:
+                weights.append(float(mask.sum()))
+        if multiproc:
+            weights = [float(np.asarray(w)) for w in weights]
         w = np.asarray(weights)
         train_nll = float(np.dot(np.asarray(losses), w) / max(w.sum(), 1.0))
         flow.model = model

@@ -114,6 +114,13 @@ def _particle_sharding(mesh):
     return data_sharding(mesh, 2)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _sharded_normal(key, n, d, sharding):
+    return jax.lax.with_sharding_constraint(
+        jax.random.normal(key, (n, d)), sharding
+    )
+
+
 # -- rejection sampling -----------------------------------------------------
 
 
@@ -643,10 +650,14 @@ def run_smc(
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
     k_init, k_run = jax.random.split(key)
-    x0 = init_scale * jax.random.normal(k_init, (n_particles, d))
     sharding = _particle_sharding(mesh)
     if sharding is not None:
-        x0 = jax.device_put(x0, sharding)
+        # draw ON the mesh (module-level cached program with an in-program
+        # sharding constraint) — a device_put of an eager host-local array
+        # would fail on a multi-process mesh
+        x0 = init_scale * _sharded_normal(k_init, n_particles, d, sharding)
+    else:
+        x0 = init_scale * jax.random.normal(k_init, (n_particles, d))
 
     cache_key = (id(log_density), d, n_particles, n_steps,
                  float(init_scale), float(ess_threshold),

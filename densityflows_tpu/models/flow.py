@@ -101,6 +101,16 @@ def _log_prob_grid_program(model, base, vecs, theta_row, chunk):
     return lps.reshape(-1)[:total]
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _sharded_sweep_draw(base, key, theta_n, total, dtype, sharding):
+    """Draw the sweep's base sample ON the mesh (sharding constraint inside
+    the program) — a device_put of an eager host-local array would fail on
+    a multi-process mesh. Module-level so repeat sweeps reuse the program."""
+    r = base.sample(key, (total,), dtype)
+    return (jax.lax.with_sharding_constraint(r, sharding),
+            jax.lax.with_sharding_constraint(theta_n, sharding))
+
+
 @jax.jit
 def _forward_program(model, z, theta):
     return _chain_eval(model, z, theta, "fwd")
@@ -289,12 +299,14 @@ class Flow:
                                      self.metadata.d, theta_n)
             if out is not None:
                 return out.reshape(g, n_per_theta, self.metadata.d)
-        r = self.base.sample(key, (total,), dtype)
         if mesh is not None:
             from ..parallel.mesh import data_sharding
 
-            r = jax.device_put(r, data_sharding(mesh, 2))
-            theta_n = jax.device_put(theta_n, data_sharding(mesh, 2))
+            r, theta_n = _sharded_sweep_draw(
+                self.base, key, theta_n, total, dtype, data_sharding(mesh, 2)
+            )
+        else:
+            r = self.base.sample(key, (total,), dtype)
         out = _sample_program(self.model, None, r, theta_n)
         return out.reshape(g, n_per_theta, self.metadata.d)
 

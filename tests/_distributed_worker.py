@@ -104,6 +104,18 @@ def main() -> None:
         )
     multihost_utils.sync_global_devices("densityflows:orbax_done")
 
+    # multi-host DP STREAMING: each host streams its own loader shard; the
+    # global batch is assembled across processes and the gradient psum
+    # rides the mesh (data_stream.train_streaming mesh path)
+    sflow = df.Flow(chain, data)
+    sflow.model = flow.model
+    df.train_streaming(
+        sflow, x, th, optimizer, epochs=1, batchsize=32, seed=5,
+        verbose=False, mesh=mesh,
+    )
+    stream_loss = float(sflow.train_loss[-1])
+    assert np.isfinite(stream_loss)
+
     with open(os.path.join(out_dir, f"result_{pid}.json"), "w") as f:
         json.dump(
             {
@@ -111,6 +123,7 @@ def main() -> None:
                 "train_loss": [float(v) for v in flow.train_loss],
                 "valid_loss": [float(v) for v in flow.valid_loss],
                 "ckpt_roundtrip_ok": True,
+                "stream_loss": stream_loss,
             },
             f,
         )

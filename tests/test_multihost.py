@@ -99,6 +99,10 @@ def test_two_process_dp_matches_single_process(tmp_path):
     assert results[0]["valid_loss"] == results[1]["valid_loss"]
     assert all(r["ckpt_roundtrip_ok"] for r in results)
     assert len(results[0]["train_loss"]) == epochs
+    # streaming DP: the in-program psum makes the global loss identical
+    # on both hosts
+    assert results[0]["stream_loss"] == results[1]["stream_loss"]
+    assert np.isfinite(results[0]["stream_loss"])
 
     ref = _single_process_reference(epochs=epochs)
     np.testing.assert_allclose(

@@ -130,3 +130,36 @@ def test_train_streaming_unconditional():
     train_streaming(flow, x, epochs=3, batchsize=32, verbose=False)
     assert len(flow.training_loss) == 3
     assert np.all(np.isfinite(flow.training_loss))
+
+
+def test_streaming_with_mesh_matches_unsharded():
+    """train_streaming(mesh=…) shards each batch over the data axis; the
+    per-batch losses and final params must match the unsharded run (same
+    batches, GSPMD only changes placement)."""
+    import densityflows_tpu as df
+    from densityflows_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(300, 3)).astype(np.float32)
+    th = rng.uniform(0, 1, size=(300, 1)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+
+    def build():
+        chain = df.flow_chain(
+            df.coupling_block(data, None, key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.normalization_layer(x, -1.0, 1.0),
+        )
+        return df.Flow(chain, data)
+
+    import optax
+
+    f1, f2 = build(), build()
+    df.train_streaming(f1, x, th, optax.adam(1e-3), epochs=2, batchsize=64,
+                       seed=3, verbose=False)
+    df.train_streaming(f2, x, th, optax.adam(1e-3), epochs=2, batchsize=64,
+                       seed=3, verbose=False, mesh=make_mesh())
+    np.testing.assert_allclose(f1.train_loss, f2.train_loss, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(f1.model),
+                    jax.tree_util.tree_leaves(f2.model)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
