@@ -136,12 +136,20 @@ def train_ensemble(
     key=None,
     base=None,
     verbose: bool = True,
+    mesh=None,
 ) -> EnsembleFlow:
     """Build and train K flows as one vmapped fused program.
 
     ``factory(key) -> model chain`` builds one member (independent init);
     all members must share static structure. Returns an
     :class:`EnsembleFlow` with per-member loss histories.
+
+    ``mesh``: shard the MEMBER axis over the mesh ``data`` axis — members
+    are independent, so ensemble training is embarrassingly parallel:
+    each device trains its share of members with ZERO collectives (the
+    dataset is replicated). Requires ``n_members`` divisible by the mesh
+    ``data`` size; single-host meshes only (members are placed with
+    ``device_put``).
     """
     import optax as _optax
 
@@ -166,12 +174,35 @@ def train_ensemble(
         n_train=n_train, n_valid=n_valid, pure=True,
     )
     opt_states = jax.vmap(optimizer.init)(stacked)
+    keys = jax.random.split(k_train, n_members)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        m = mesh.shape["data"]
+        if n_members % m:
+            raise ValueError(
+                f"n_members ({n_members}) must be a multiple of the mesh "
+                f"data axis ({m}) to shard the member axis"
+            )
+
+        def member_sharded(tree):
+            return jax.tree_util.tree_map(
+                lambda l: jax.device_put(
+                    l, NamedSharding(mesh, P("data", *[None] * (l.ndim - 1)))
+                ),
+                tree,
+            )
+
+        stacked = member_sharded(stacked)
+        opt_states = member_sharded(opt_states)
+        keys = member_sharded(keys)
+
     # member axis: params/opt-state/keys mapped, data/base broadcast
     ens_program = jax.jit(
         jax.vmap(program, in_axes=(0, 0, None, None, None, None, None, 0)),
         donate_argnums=(0, 1),
     )
-    keys = jax.random.split(k_train, n_members)
     stacked, opt_states, tls, vls = ens_program(
         stacked, opt_states, proto.base,
         jnp.asarray(x_train), jnp.asarray(th_train),

@@ -161,3 +161,22 @@ def test_manual_md_runs(tmp_path, monkeypatch):
     assert np.asarray(ns["lp_k"]).shape[0] == 2  # K members
     assert np.asarray(ns["samples"]).shape[-1] == 5
     assert np.isfinite(float(ns["ks"]))
+
+
+def test_api_reference_is_fresh():
+    """docs/api.md must match what tools/render_api.py generates from the
+    live public surface — a renamed/added export without a doc refresh
+    fails here."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "render_api",
+        os.path.join(os.path.dirname(_DOCS), "tools", "render_api.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(os.path.join(os.path.dirname(_DOCS), "docs", "api.md")) as f:
+        committed = f.read()
+    assert committed == mod.render(), (
+        "docs/api.md is stale — run: python tools/render_api.py"
+    )

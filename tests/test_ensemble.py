@@ -106,3 +106,39 @@ def test_ensemble_checkpoint_roundtrip(tmp_path):
     assert np.asarray(ens2.train_loss).shape == (2, 3)
     s = np.asarray(ens2.sample((100,), (-1.0,), key=jax.random.key(7)))
     assert s.shape == (100, 3) and np.isfinite(s).all()
+
+
+def test_ensemble_member_axis_sharded_matches_unsharded():
+    """mesh= shards the member axis (embarrassingly parallel, zero
+    collectives); per-member loss histories must equal the unsharded run
+    with the same keys."""
+    from densityflows_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 3)).astype(np.float32)
+    th = rng.uniform(0, 1, size=(200, 1)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+
+    def factory(key):
+        return df.flow_chain(
+            df.coupling_block(data, None, key=key, hidden_dim_s=8,
+                              hidden_dim_t=8),
+            df.normalization_layer(x, -1.0, 1.0),
+        )
+
+    import optax
+
+    kwargs = dict(n_members=8, epochs=2, batchsize=64,
+                  key=jax.random.key(4), verbose=False)
+    e1 = df.train_ensemble(factory, data, optimizer=optax.adam(1e-3),
+                           **kwargs)
+    e2 = df.train_ensemble(factory, data, optimizer=optax.adam(1e-3),
+                           mesh=make_mesh(), **kwargs)
+    np.testing.assert_allclose(np.asarray(e1.train_loss),
+                               np.asarray(e2.train_loss), atol=1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        df.train_ensemble(factory, data, n_members=3, epochs=1,
+                          mesh=make_mesh(), verbose=False)
