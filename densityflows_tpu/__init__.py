@@ -71,6 +71,7 @@ from .inference import (
     SMCState,
     effective_sample_size,
     fit_posterior,
+    fit_posterior_apt,
     fit_posterior_rounds,
     fit_variational,
     flow_mcmc,
@@ -131,7 +132,7 @@ __all__ = [
     "EnsembleFlow", "train_ensemble", "stack_models",
     # inference engine
     "sample_with_rejection", "weighted_nll_loss", "make_weighted_train_step",
-    "fit_posterior", "fit_posterior_rounds", "fit_variational",
+    "fit_posterior", "fit_posterior_apt", "fit_posterior_rounds", "fit_variational",
     "effective_sample_size", "systematic_resample",
     "SMCState", "smc_step", "run_smc",
     "flow_mcmc", "sbc_ranks", "sbc_uniformity",

@@ -45,6 +45,8 @@ __all__ = [
     "weighted_nll_loss",
     "make_weighted_train_step",
     "fit_posterior",
+    "fit_posterior_apt",
+    "apt_loss",
     "fit_posterior_rounds",
     "propose_from_posterior",
     "fit_variational",
@@ -434,6 +436,180 @@ def fit_posterior_rounds(
             print(f"round {rnd + 1}: {len(theta_cat)} sims, weight ESS "
                   f"{ess:.1f}, NLL {flow.train_loss[-1]:.4f}")
     return flow, history
+
+
+# -- SNPE-C / APT (atomic posterior transformation) ---------------------------
+
+
+_APT_CACHE = _IdentityCache()
+
+
+def apt_loss(model, base, theta_b, x_b, log_prior_b, atom_idx):
+    """Atomic SNPE-C loss (Greenberg et al. 2019): for each example i with
+    atom set A(i) (its own θ first),
+
+        −log softmax over m ∈ A(i) of [ log q(θ_m | x_i) − log p(θ_m) ]
+        evaluated at m = i
+
+    — classify the true θ against contrastive atoms under the
+    PRIOR-CORRECTED density ratio q/p. The −log p(θ_m) term is what makes
+    the optimum the true posterior: atoms drawn from any pool p̃ give the
+    Bayes-optimal softmax logits log p(θ|x) − log p̃(θ), so matching them
+    with log q − log p lands q = posterior (dropping the term — valid
+    only for uniform priors — lands q ∝ likelihood instead; caught by the
+    conjugate-Gaussian test). Because the pool density cancels in the
+    softmax, multi-round fits need NO importance weights (the SNPE-B
+    alternative). ``atom_idx`` (B, M) rows index into the batch; column 0
+    must be ``arange(B)``.
+    """
+    b, m = atom_idx.shape
+    theta_atoms = theta_b[atom_idx].reshape(b * m, theta_b.shape[-1])
+    x_rep = jnp.repeat(x_b, m, axis=0)
+    z, ldj = model.inverse(theta_atoms, x_rep)
+    lq = (base.log_prob(z) + ldj).reshape(b, m) - log_prior_b[atom_idx]
+    return -jnp.mean(lq[:, 0] - jax.scipy.special.logsumexp(lq, axis=1))
+
+
+def _atom_indices(key, b, n_atoms):
+    """(B, M) atom index rows: column 0 = self, columns 1..M−1 drawn
+    WITHOUT replacement from the other B−1 examples of the batch."""
+    self_idx = jnp.arange(b)
+
+    def row(k, i):
+        others = jax.random.choice(k, b - 1, (n_atoms - 1,), replace=False)
+        return jnp.concatenate(
+            [i[None], jnp.where(others >= i, others + 1, others)]
+        )
+
+    return jax.vmap(row)(jax.random.split(key, b), self_idx)
+
+
+def fit_posterior_apt(
+    flow: Flow,
+    theta_samples,
+    x_observations,
+    prior_log_prob: Callable[[np.ndarray], np.ndarray] | None = None,
+    *,
+    n_atoms: int = 10,
+    optimizer=None,
+    epochs: int = 100,
+    batchsize: int = 64,
+    key=None,
+    verbose: bool = False,
+):
+    """Fit the flow as an amortized posterior q(θ | x) with the atomic
+    SNPE-C/APT objective — the proposal-robust alternative to
+    :func:`fit_posterior`'s SNPE-B weights: θ drawn from ANY proposal
+    (prior round 1, the current posterior later) trains correctly because
+    the atom-pool density cancels in the atomic softmax.
+
+    ``prior_log_prob(θ) -> (n,)`` evaluates the PRIOR density at the raw
+    θ rows (the q/p correction inside :func:`apt_loss`); ``None`` means a
+    uniform/improper-flat prior (the term is constant and drops out).
+
+    One fused multi-epoch program (scan over epochs → scan over batches;
+    fresh atom draw per batch; per-epoch mean atomic loss appended to
+    ``flow.train_loss``), cached by identity like every other engine
+    program. Returns ``opt_state``.
+    """
+    from .train import _default_adam
+
+    if optimizer is None:
+        optimizer = _default_adam()
+    if key is None:
+        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+    theta_samples = np.asarray(theta_samples, np.float32)
+    x_observations = np.asarray(x_observations, np.float32)
+    n = theta_samples.shape[0]
+    if x_observations.shape[0] != n:
+        raise ValueError("theta and x must have the same number of rows")
+    if not 2 <= n_atoms <= batchsize:
+        raise ValueError(f"need 2 <= n_atoms <= batchsize, got {n_atoms}")
+    n_batches = n // batchsize  # APT drops the ragged tail batch: atoms
+    if n_batches == 0:          # must come from a full batch
+        raise ValueError(
+            f"need at least one full batch ({batchsize}) of simulations, "
+            f"got {n}"
+        )
+
+    # the posterior flow's DATA axis is θ and its CONDITION is x — so the
+    # boundary normalization applies to x, via the flow's metadata (the
+    # same contract train() applies through DataArrays in fit_posterior)
+    from .data import normalize_input
+
+    if flow.metadata.n:
+        x_n = np.asarray(normalize_input(
+            x_observations,
+            np.asarray(flow.metadata.theta_min),
+            np.asarray(flow.metadata.theta_max),
+        ), np.float32)
+    else:
+        x_n = x_observations
+
+    if prior_log_prob is None:
+        log_p = np.zeros((n,), np.float32)
+    else:
+        log_p = np.asarray(prior_log_prob(theta_samples),
+                           np.float32).reshape(n)
+        if not np.isfinite(log_p).all():
+            raise ValueError(
+                "prior_log_prob must be finite at every simulated θ "
+                "(out-of-support rows cannot train the atomic loss)"
+            )
+
+    cache_key = (id(optimizer), n, batchsize, epochs, n_atoms)
+    program = _APT_CACHE.get(cache_key, (optimizer,))
+    if program is None:
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def program(model, opt_state, base, th, x, log_p, key):
+            _count_trace("apt")
+
+            def epoch_body(carry, ekey):
+                model, opt_state = carry
+                k_perm, k_atoms = jax.random.split(ekey)
+                perm = jax.random.permutation(k_perm, n).astype(jnp.int32)
+                idx = perm[: n_batches * batchsize].reshape(
+                    n_batches, batchsize)
+
+                def batch_body(carry, inp):
+                    model, opt_state = carry
+                    bi, k = inp
+                    atom_idx = _atom_indices(k, batchsize, n_atoms)
+                    loss, grads = jax.value_and_grad(apt_loss)(
+                        model, base, th[bi], x[bi], log_p[bi], atom_idx
+                    )
+                    updates, opt_state = optimizer.update(
+                        grads, opt_state, model)
+                    model = optax.apply_updates(model, updates)
+                    return (model, opt_state), loss
+
+                (model, opt_state), losses = jax.lax.scan(
+                    batch_body, (model, opt_state),
+                    (idx, jax.random.split(k_atoms, n_batches)),
+                )
+                return (model, opt_state), jnp.mean(losses)
+
+            keys = jax.random.split(key, epochs)
+            (model, opt_state), epoch_losses = jax.lax.scan(
+                epoch_body, (model, opt_state), keys
+            )
+            return model, opt_state, epoch_losses
+
+        _APT_CACHE.put(cache_key, (optimizer,), program)
+
+    model = flow.model
+    opt_state = optimizer.init(model)
+    model, opt_state, losses = program(
+        model, opt_state, flow.base, jnp.asarray(theta_samples),
+        jnp.asarray(x_n), jnp.asarray(log_p), key,
+    )
+    losses = np.asarray(losses)
+    flow.model = model
+    flow.train_loss.extend(float(v) for v in losses)
+    if verbose:
+        print(f"APT: {epochs} epochs, final atomic loss {losses[-1]:.4f}")
+    return opt_state
 
 
 # -- variational (reverse-KL) fit -------------------------------------------

@@ -119,3 +119,70 @@ def test_mixture_proposal_density_removes_truncation_bias():
 
     assert abs(est_corrected - 0.5) < 0.02, est_corrected
     assert abs(est_naive - 0.5) > 0.08, est_naive  # the bias being fixed
+
+
+def test_apt_recovers_conjugate_posterior():
+    """SNPE-C / APT (atomic contrastive loss): same conjugate-Gaussian
+    setup as the SNPE-B test; the atomic objective must recover the
+    analytic posterior from prior-drawn simulations without importance
+    weights."""
+    x_obs = 1.0
+    post_mean = x_obs / (1 + SIGMA**2)
+    post_std = np.sqrt(SIGMA**2 / (1 + SIGMA**2))
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    theta = rng.normal(size=(n, 1)).astype(np.float32)
+    x = (theta + SIGMA * rng.normal(size=theta.shape)).astype(np.float32)
+
+    def prior_log_prob(t):
+        t = np.asarray(t)[:, 0]
+        return -0.5 * t**2 - 0.5 * np.log(2 * np.pi)
+
+    flow = df.Flow(
+        df.flow_chain(
+            df.coupling_layer(1, [0], n=1, kind=df.RQSCouplingLayer,
+                              key=jax.random.key(0), n_bins=8,
+                              hidden_dim_t=32),
+        ),
+        df.MetaData("", 1, 1, np.array([-4.0], np.float32),
+                    np.array([4.0], np.float32)),
+    )
+    df.fit_posterior_apt(flow, theta, x, prior_log_prob, n_atoms=10,
+                         epochs=100, batchsize=128, key=jax.random.key(1))
+    assert np.isfinite(flow.train_loss).all()
+    # atomic loss is bounded by log(n_atoms); a trained flow sits well below
+    assert flow.train_loss[-1] < np.log(10)
+
+    draws = np.asarray(
+        flow.sample((20_000,), (x_obs,), key=jax.random.key(3))
+    )[:, 0]
+    assert abs(draws.mean() - post_mean) < 0.12, draws.mean()
+    assert abs(draws.std() - post_std) < 0.12, draws.std()
+
+
+def test_apt_program_cached():
+    from densityflows_tpu import inference as inf
+    import optax
+
+    rng = np.random.default_rng(1)
+    theta = rng.normal(size=(256, 1)).astype(np.float32)
+    x = (theta + 0.3 * rng.normal(size=theta.shape)).astype(np.float32)
+
+    def build():
+        return df.Flow(
+            df.flow_chain(df.coupling_layer(1, [0], n=1,
+                                            key=jax.random.key(0))),
+            df.MetaData("", 1, 1, np.array([-4.0], np.float32),
+                        np.array([4.0], np.float32)),
+        )
+
+    opt = optax.adam(1e-3)
+    inf.trace_counts.pop("apt", None)
+    df.fit_posterior_apt(build(), theta, x, n_atoms=4, epochs=2,
+                         batchsize=64, optimizer=opt,
+                         key=jax.random.key(1))
+    df.fit_posterior_apt(build(), theta, x, n_atoms=4, epochs=2,
+                         batchsize=64, optimizer=opt,
+                         key=jax.random.key(2))
+    assert inf.trace_counts["apt"] == 1
