@@ -359,9 +359,17 @@ def fit_posterior_rounds(
     key=None,
     rng=None,
     verbose: bool = False,
+    method: str = "snpe_b",
+    n_atoms: int = 10,
 ):
     """Sequential (multi-round) SNPE: simulate → fit → propose, focused on
     one observation ``x_obs``.
+
+    ``method``: ``"snpe_b"`` (default — importance-weighted NLL with the
+    exact mixture proposal density) or ``"apt"`` (SNPE-C atomic loss,
+    :func:`fit_posterior_apt` with ``n_atoms`` — proposal-robust, no
+    importance weights; the per-round history reports the atom-pool ESS
+    as ``None``).
 
     Round 1 draws θ from the prior; later rounds draw from the CURRENT
     posterior estimate q(θ | x_obs) (the proposal), correcting the NLL
@@ -387,6 +395,8 @@ def fit_posterior_rounds(
     counts and ESS of the importance weights. No reference counterpart —
     the reference has no inference engine at all (SURVEY.md §2.2).
     """
+    if method not in ("snpe_b", "apt"):
+        raise ValueError("method must be 'snpe_b' or 'apt'")
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
     if rng is None:
@@ -418,23 +428,33 @@ def fit_posterior_rounds(
 
         theta_cat = np.concatenate(all_theta)
         x_cat = np.concatenate(all_x)
-        log_p = np.asarray(prior_log_prob(theta_cat), np.float64)
-        log_w = log_p - np.concatenate(all_logq)
-        log_w -= log_w.max()
-        w = np.exp(log_w).astype(np.float32)
-        w /= w.mean()
-        ess = float(w.sum() ** 2 / (w * w).sum())
 
-        fit_posterior(
-            flow, theta_cat, x_cat, weights=w if rnd > 0 else None,
-            optimizer=optimizer, epochs=epochs, batchsize=batchsize,
-            key=k_fit, verbose=False,
-        )
+        if method == "apt":
+            fit_posterior_apt(
+                flow, theta_cat, x_cat, prior_log_prob,
+                n_atoms=n_atoms, optimizer=optimizer, epochs=epochs,
+                batchsize=batchsize, key=k_fit, verbose=False,
+            )
+            ess = None
+        else:
+            log_p = np.asarray(prior_log_prob(theta_cat), np.float64)
+            log_w = log_p - np.concatenate(all_logq)
+            log_w -= log_w.max()
+            w = np.exp(log_w).astype(np.float32)
+            w /= w.mean()
+            ess = float(w.sum() ** 2 / (w * w).sum())
+
+            fit_posterior(
+                flow, theta_cat, x_cat, weights=w if rnd > 0 else None,
+                optimizer=optimizer, epochs=epochs, batchsize=batchsize,
+                key=k_fit, verbose=False,
+            )
         history.append({"round": rnd + 1, "n_sims": int(len(theta_cat)),
                         "weight_ess": ess})
         if verbose:
-            print(f"round {rnd + 1}: {len(theta_cat)} sims, weight ESS "
-                  f"{ess:.1f}, NLL {flow.train_loss[-1]:.4f}")
+            tag = "atomic" if method == "apt" else f"weight ESS {ess:.1f}"
+            print(f"round {rnd + 1}: {len(theta_cat)} sims, {tag}, "
+                  f"loss {flow.train_loss[-1]:.4f}")
     return flow, history
 
 

@@ -186,3 +186,45 @@ def test_apt_program_cached():
                          batchsize=64, optimizer=opt,
                          key=jax.random.key(2))
     assert inf.trace_counts["apt"] == 1
+
+
+def test_multiround_apt_recovers_conjugate_posterior():
+    """Sequential APT (method='apt'): same conjugate target as the SNPE-B
+    multi-round test, no importance weights anywhere."""
+    x_obs = 1.0
+    post_mean = x_obs / (1 + SIGMA**2)
+    post_std = np.sqrt(SIGMA**2 / (1 + SIGMA**2))
+
+    sim_rng = np.random.default_rng(0)
+
+    def simulator(theta):
+        return theta + SIGMA * sim_rng.normal(size=theta.shape)
+
+    def prior_sample(rng, n):
+        return rng.normal(size=(n, 1))
+
+    def prior_log_prob(theta):
+        t = np.asarray(theta)[:, 0]
+        return -0.5 * t**2 - 0.5 * np.log(2 * np.pi)
+
+    flow = df.Flow(
+        df.flow_chain(
+            df.coupling_layer(1, [0], n=1, kind=df.RQSCouplingLayer,
+                              key=jax.random.key(0), n_bins=8,
+                              hidden_dim_t=32),
+        ),
+        df.MetaData("", 1, 1, np.array([-4.0], np.float32),
+                    np.array([4.0], np.float32)),
+    )
+    flow, history = df.fit_posterior_rounds(
+        flow, simulator, prior_sample, prior_log_prob, [x_obs],
+        n_rounds=2, n_sims_per_round=800, epochs=50, method="apt",
+        n_atoms=10, key=jax.random.key(1), rng=np.random.default_rng(2),
+    )
+    assert [h["weight_ess"] for h in history] == [None, None]
+
+    draws = np.asarray(
+        flow.sample((20_000,), (x_obs,), key=jax.random.key(3))
+    )[:, 0]
+    assert abs(draws.mean() - post_mean) < 0.12, draws.mean()
+    assert abs(draws.std() - post_std) < 0.12, draws.std()
