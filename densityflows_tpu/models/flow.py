@@ -224,18 +224,32 @@ class Flow:
         return self.forward(z, theta)[0]
 
     # -- sampling ---------------------------------------------------------
-    def sample(self, dims, theta=None, *, key=None, dtype=jnp.float32):
+    def sample(self, dims, theta=None, *, key=None, dtype=jnp.float32,
+               mesh=None):
         """Draw samples of shape (*dims, d) (reference ``sample``,
         src/Flows.jl:157-192; layout flipped from (d, dims...)).
 
         ``theta``: None, a tuple of n scalars (shared by all draws), or an
-        array of shape (*dims, n).
+        array of shape (*dims, n). ``mesh``: shard the flattened draw axis
+        over the mesh ``data`` axis (multi-process-safe: the draw happens
+        ON the mesh inside the program).
         """
         if isinstance(dims, int):
             dims = (dims,)
         dims = tuple(int(s) for s in dims)
         if key is None:
             key = jax.random.key(np.random.randint(0, 2**31 - 1))
+        if mesh is not None:
+            from ..parallel.mesh import data_sharding
+
+            rows = int(np.prod(dims)) if dims else 1
+            theta_n = self.prepare_theta(theta, dims, dtype).reshape(
+                rows, self.metadata.n)
+            r, theta_n = _sharded_sweep_draw(
+                self.base, key, theta_n, rows, dtype, data_sharding(mesh, 2)
+            )
+            out = _sample_program(self.model, None, r, theta_n)
+            return out.reshape(dims + (self.metadata.d,))
         out = self._sample_fused(dims, theta, key, dtype)
         if out is not None:
             return out
@@ -311,7 +325,8 @@ class Flow:
         return out.reshape(g, n_per_theta, self.metadata.d)
 
     # -- densities --------------------------------------------------------
-    def log_prob(self, x, theta=None, *, grid_chunk: int = 65536):
+    def log_prob(self, x, theta=None, *, grid_chunk: int = 65536,
+                 mesh=None):
         """log pdf at x (reference ``logpdf``, src/Flows.jl:272-281).
 
         ``x`` may also be a tuple of d per-axis vectors — then the log-pdf
@@ -321,16 +336,39 @@ class Flow:
         larger than ``grid_chunk`` rows are evaluated in on-device chunks
         (one fused program; peak memory O(grid_chunk·d) + output), so
         dense grids in d ≥ 4 don't OOM.
+
+        ``mesh`` (array form only): shard the evaluation rows over the
+        mesh ``data`` axis — for density sweeps too large for one chip.
         """
         if isinstance(x, (tuple, list)) and all(
             np.ndim(v) == 1 for v in x
         ):
+            if mesh is not None:
+                raise ValueError("mesh sharding applies to the array form "
+                                 "of log_prob, not the grid form")
             return self._log_prob_grid(tuple(x), theta, grid_chunk)
         x = jnp.asarray(x)
-        return _log_prob_program(
-            self.model, self.base, x,
-            self.prepare_theta(theta, x.shape[:-1], x.dtype),
-        )
+        theta_n = self.prepare_theta(theta, x.shape[:-1], x.dtype)
+        if mesh is not None:
+            from ..parallel.mesh import put_global
+
+            batch_shape = x.shape[:-1]
+            rows = int(np.prod(batch_shape)) if batch_shape else 1
+            pad = (-rows) % mesh.shape["data"]
+
+            def prep(a, width):
+                a = np.asarray(a.reshape(rows, width))
+                if pad:
+                    a = np.concatenate(
+                        [a, np.zeros((pad, width), a.dtype)], 0)
+                return put_global(mesh, a)
+
+            lp = _log_prob_program(
+                self.model, self.base, prep(x, x.shape[-1]),
+                prep(theta_n, self.metadata.n),
+            )
+            return lp[:rows].reshape(batch_shape)
+        return _log_prob_program(self.model, self.base, x, theta_n)
 
     def _log_prob_grid(self, axes_vectors: tuple, theta, grid_chunk: int):
         d = self.metadata.d

@@ -328,3 +328,42 @@ def test_pod_config_128d_smoke():
 
     lp = flow.log_prob(jnp.asarray(x[:32]), th[:32])
     assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_flow_sample_and_log_prob_mesh_match_unsharded():
+    """Flow.sample(mesh=…)/log_prob(mesh=…) shard the particle axis; the
+    log_prob values must equal the unsharded ones exactly, and the
+    sharded sample must be finite and moment-consistent."""
+    import densityflows_tpu as df
+    from densityflows_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 4)).astype(np.float32)
+    th = rng.uniform(0, 1, size=(200, 2)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+    flow = df.Flow(
+        df.flow_chain(
+            df.coupling_block(data, None, key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8,
+                              zero_init_final=False),
+            df.normalization_layer(x, -1.0, 1.0),
+        ),
+        data,
+    )
+    mesh = make_mesh()
+
+    xq = jnp.asarray(x[:101])  # odd row count: exercises the pad+slice
+    lp0 = np.asarray(flow.log_prob(xq, th[:101]))
+    lp1 = np.asarray(flow.log_prob(xq, th[:101], mesh=mesh))
+    np.testing.assert_allclose(lp0, lp1, rtol=1e-6, atol=1e-6)
+
+    s = np.asarray(flow.sample((640,), (0.3, 0.7), key=jax.random.key(1),
+                               mesh=mesh))
+    assert s.shape == (640, 4)
+    assert np.isfinite(s).all()
+    s0 = np.asarray(flow.sample((640,), (0.3, 0.7), key=jax.random.key(1)))
+    # same key, same draw stream → identical samples modulo placement
+    np.testing.assert_allclose(s0, s, rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="grid form"):
+        flow.log_prob((np.linspace(-1, 1, 4),) * 4, (0.3, 0.7), mesh=mesh)
