@@ -112,3 +112,20 @@ def test_config_mixed_precision_and_max_log_scale():
     for a in jax.tree_util.tree_leaves(flow.model):
         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
             assert a.dtype == jnp.float32
+
+
+def test_config_joint_conditioner_family():
+    from densityflows_tpu.utils.config import FlowConfig, NetConfig, TrainConfig, run_experiment
+    from densityflows_tpu.models.layers import JointRNVPCouplingLayer
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(300, 3)).astype(np.float32)
+    cfg = FlowConfig(
+        net=NetConfig(hidden_dim_s=8, hidden_dim_t=8,
+                      joint_conditioner=True),
+        train=TrainConfig(epochs=2, batchsize=64, verbose=False),
+        n_blocks=2,
+    )
+    flow, data, opt_state = run_experiment(cfg, x, key=jax.random.key(0))
+    assert isinstance(flow.model.layers[0].layer_1, JointRNVPCouplingLayer)
+    assert np.isfinite(flow.train_loss).all()
