@@ -151,7 +151,6 @@ def train_ensemble(
     ``data`` size; single-host meshes only (members are placed with
     ``device_put``).
     """
-    import optax as _optax
 
     from .train import make_train_program, _default_adam
 
