@@ -35,6 +35,23 @@ def main():
     print(f"SNPE posterior at x={x_obs}: mean {post.mean():+.3f} "
           f"std {post.std():.3f}")
 
+    # same fit with the atomic SNPE-C/APT objective (proposal-robust,
+    # no importance weights): prior is Uniform(-1, 1) → log p = -log 2
+    chain_apt = df.flow_chain(
+        df.coupling_layer(1, [0], n=1, kind=df.RQSCouplingLayer,
+                          key=jax.random.key(5), hidden_dim_t=32, n_bins=8),
+    )
+    flow_apt = df.Flow(chain_apt, df.MetaData("", 1, 1, x.min(0), x.max(0)))
+    df.fit_posterior_apt(
+        flow_apt, theta, x,
+        lambda t: np.full(len(t), -np.log(2.0)),
+        n_atoms=10, epochs=60, batchsize=128, key=jax.random.key(6),
+    )
+    post_apt = np.asarray(
+        flow_apt.sample((20_000,), (x_obs,), key=jax.random.key(7)))
+    print(f"APT  posterior at x={x_obs}: mean {post_apt.mean():+.3f} "
+          f"std {post_apt.std():.3f}")
+
     # SMC on the analytic unnormalized posterior p(θ|x) ∝ p(x|θ)·1[|θ|≤1]
     def log_post(th):
         ll = -0.5 * jnp.sum((x_obs - jnp.sin(2 * th)) ** 2, -1) / SIGMA**2
