@@ -303,6 +303,13 @@ def _conditioner_nets(layer):
     return ()
 
 
+def _has_joint(chain) -> bool:
+    """Chains containing a joint conditioner route under the joint
+    crossover thresholds (stricter — see layers.use_fused_chain)."""
+    return any(isinstance(l, JointRNVPCouplingLayer)
+               for l in _iter_layers(chain, "fwd"))
+
+
 def chain_is_fusable(chain, d: int, n: int) -> bool:
     """Static feasibility check (types + VMEM budget), no tracing."""
     try:
@@ -403,7 +410,7 @@ def maybe_sample_fused(chain, key, rows, d, theta_n):
         # the CPU interpreter stubs prng_random_bits to zeros — the
         # in-kernel draw is a real-TPU-only fast path
         return None
-    if not use_fused_chain(rows, d, _max_hidden(chain)):
+    if not use_fused_chain(rows, d, _max_hidden(chain), _has_joint(chain)):
         return None
     if not chain_is_fusable(chain, d, n):
         return None
@@ -423,7 +430,7 @@ def maybe_apply_fused(chain, y, theta, dirn, with_ldj):
     rows = int(np.prod(batch_shape))
     d = y.shape[-1]
     n = theta.shape[-1] if theta is not None else 0
-    if not use_fused_chain(rows, d, _max_hidden(chain)):
+    if not use_fused_chain(rows, d, _max_hidden(chain), _has_joint(chain)):
         return None
     if not chain_is_fusable(chain, d, n):
         return None

@@ -109,6 +109,12 @@ def set_fused_kernels(mode: str | bool) -> None:
 _CHAIN_MIN_BATCH = 4096
 _CHAIN_MIN_D = 16
 _CHAIN_MIN_HIDDEN = 64
+# JOINT-conditioner chains have their own (stricter) crossover — halving
+# the matmul count helps XLA more than the kernel, so the kernel wins
+# later (measured interleaved, 2¹⁸ rows: d=16 h=64 → 0.66x, d=32 h=128
+# → 1.30x, d=32 h=256 → 2.3x; docs/design.md §10)
+_CHAIN_MIN_D_JOINT = 32
+_CHAIN_MIN_HIDDEN_JOINT = 128
 
 
 def use_fused(batch_rows: int) -> bool:
@@ -119,20 +125,24 @@ def use_fused(batch_rows: int) -> bool:
 
 
 def use_fused_chain(batch_rows: int, d: int | None = None,
-                    max_hidden: int | None = None) -> bool:
+                    max_hidden: int | None = None,
+                    joint: bool = False) -> bool:
     """Whole-chain fusion gate (models/fused_chain.py). "auto" routes to
     the one-kernel path only where it measured faster than XLA: on TPU,
-    flattened batch ≥ 4096, feature dim ≥ 16 and conditioner hidden
-    width ≥ 64 (crossover table above)."""
+    flattened batch ≥ 4096 and (split chains) d ≥ 16 ∧ hidden ≥ 64, or
+    (chains containing a joint conditioner) d ≥ 32 ∧ hidden ≥ 128 —
+    separate crossovers, both measured (tables above)."""
     if _FUSED_MODE is True:
         return True
     if _FUSED_MODE is False:
         return False
+    min_d = _CHAIN_MIN_D_JOINT if joint else _CHAIN_MIN_D
+    min_h = _CHAIN_MIN_HIDDEN_JOINT if joint else _CHAIN_MIN_HIDDEN
     return (
         jax.default_backend() == "tpu"
         and batch_rows >= _CHAIN_MIN_BATCH
-        and d is not None and d >= _CHAIN_MIN_D
-        and max_hidden is not None and max_hidden >= _CHAIN_MIN_HIDDEN
+        and d is not None and d >= min_d
+        and max_hidden is not None and max_hidden >= min_h
     )
 
 
