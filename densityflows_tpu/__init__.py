@@ -65,6 +65,7 @@ from .ops.coupling import (
 )
 from .ops.mlp import MLP, apply_mlp, init_mlp
 from .train import train, evaluate, make_train_step
+from .models.fused_train import UnsupportedFusedTrain, train_fused
 from .data_stream import StreamingLoader, train_streaming
 from .ensemble import EnsembleFlow, train_ensemble, stack_models
 from .inference import (

@@ -513,6 +513,7 @@ def train(
     mixed_precision: bool = False,
     weights=None,
     skip_nonfinite: bool = False,
+    fused_kernel: bool = False,
     _track_best: bool = False,
 ):
     """Train the flow by NLL (reference ``train!``, src/Flows.jl:380-445).
@@ -560,7 +561,39 @@ def train(
 
     Returns ``opt_state`` so training can be continued exactly (the
     reference loses optimizer state across save/load; we keep it).
+
+    ``fused_kernel=True`` runs the WHOLE multi-epoch loop as ONE Pallas
+    kernel with params/Adam moments resident in VMEM
+    (models/fused_train.py) — the launch-overhead killer for small
+    configs (the reference README config is >99% kernel-sequence
+    overhead per step). Supported surface: RNVP/joint/NICE couplings +
+    Normalization layers, StandardNormal base, the default Adam(1e-3),
+    no mesh/weights/remat/mixed_precision/skip_nonfinite. Same shuffle
+    keys and batch composition as the jnp program; the returned
+    opt_state is optax-compatible so either path continues the other.
     """
+    if fused_kernel:
+        if (mesh is not None or weights is not None or remat
+                or mixed_precision or skip_nonfinite or _track_best
+                or debug or checkpoint_dir is not None
+                or early_stopping_patience is not None):
+            raise ValueError(
+                "fused_kernel=True supports the plain training surface "
+                "only (no mesh/weights/remat/mixed_precision/"
+                "skip_nonfinite/debug/checkpointing/early stopping) — "
+                "drop fused_kernel to use the jnp program")
+        if optimizer is not None:
+            raise ValueError(
+                "fused_kernel=True uses the built-in Adam update; pass "
+                "hyperparameters via models.fused_train.train_fused "
+                "(lr/b1/b2/eps) instead of an optax optimizer")
+        from .models.fused_train import train_fused
+
+        return train_fused(
+            flow, data, epochs=epochs, batchsize=batchsize,
+            shuffle=shuffle, verbose=verbose, key=key,
+            opt_state=opt_state,
+        )
     if early_stopping_patience is not None:
         if checkpoint_dir is not None:
             raise ValueError(

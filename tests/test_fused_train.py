@@ -1,0 +1,218 @@
+"""Whole-run fused training kernel (ops/pallas_train.py, interpret mode).
+
+The kernel replicates `train.make_train_program` exactly — same shuffle
+keys, same batch composition, same masked-NLL/Adam math — so the parity
+bar here is float-accumulation-order noise (~1e-5), not a statistical
+tolerance. On real TPUs the same comparison is gated by
+benchmarks/fused_train_probe.py and bench.py.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+import densityflows_tpu as df
+from densityflows_tpu.models.fused_train import (
+    UnsupportedFusedTrain,
+    chain_train_fold,
+    train_fused,
+)
+from densityflows_tpu.models.layers import NICECouplingLayer
+
+ATOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def cond_data():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(137, 5)).astype(np.float32)
+    th = rng.uniform(-1, 2, size=(137, 1)).astype(np.float32)
+    return df.DataArrays.make(x, th, rng=0), x
+
+
+def _parity(data, x, chain_fn, epochs=4, bs=32):
+    def build():
+        return df.Flow(chain_fn(data, x), data)
+
+    f_j, f_f = build(), build()
+    os_j = df.train(f_j, data, epochs=epochs, batchsize=bs, verbose=False,
+                    key=jax.random.key(3))
+    os_f = df.train(f_f, data, epochs=epochs, batchsize=bs, verbose=False,
+                    key=jax.random.key(3), fused_kernel=True)
+    np.testing.assert_allclose(f_j.train_loss, f_f.train_loss, atol=ATOL)
+    np.testing.assert_allclose(f_j.valid_loss, f_f.valid_loss, atol=ATOL)
+    for a, b in zip(jax.tree_util.tree_leaves(f_j.model),
+                    jax.tree_util.tree_leaves(f_f.model)):
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=ATOL)
+    return f_j, f_f, os_j, os_f
+
+
+def test_reference_config_parity(cond_data):
+    data, x = cond_data
+    ks = jax.random.split(jax.random.key(0), 3)
+    f_j, f_f, os_j, os_f = _parity(
+        data, x,
+        lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], hidden_dim_s=16,
+                              hidden_dim_t=16, key=ks[0]),
+            df.coupling_layer(d, [2, 3, 4], hidden_dim_s=16,
+                              hidden_dim_t=16, key=ks[1]),
+            df.coupling_layer(d, [4, 0, 1], hidden_dim_s=16,
+                              hidden_dim_t=16, key=ks[2]),
+            df.normalization_layer(xx, -1.0, 1.0),
+        ),
+    )
+    # optax-compatible opt_state: same Adam moments, same count
+    assert int(os_j[0].count) == int(os_f[0].count)
+    for a, b in zip(jax.tree_util.tree_leaves(os_j[0].mu),
+                    jax.tree_util.tree_leaves(os_f[0].mu)):
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+@pytest.mark.parametrize("variant", ["nice", "joint", "nobias_tanh",
+                                     "no_norm", "deep"])
+def test_variant_parity(cond_data, variant):
+    data, x = cond_data
+    ks = jax.random.split(jax.random.key(0), 2)
+    builders = {
+        "nice": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], kind=NICECouplingLayer,
+                              key=ks[0]),
+            df.coupling_layer(d, [2, 3, 4], kind=NICECouplingLayer,
+                              key=ks[1]),
+            df.normalization_layer(xx, -1.0, 1.0),
+        ),
+        "joint": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], key=ks[0],
+                              joint_conditioner=True,
+                              hidden_dim_s=24, hidden_dim_t=24),
+            df.coupling_layer(d, [2, 3, 4], key=ks[1],
+                              joint_conditioner=True,
+                              hidden_dim_s=24, hidden_dim_t=24),
+            df.normalization_layer(xx, -1.0, 1.0),
+        ),
+        "nobias_tanh": lambda d, xx: df.flow_chain(
+            df.coupling_block(d.num_dimensions, [0, 2, 4], n=1, key=ks[0],
+                              activation_s="tanh", activation_t="tanh",
+                              bias=False, hidden_dim_s=8, hidden_dim_t=8),
+            df.normalization_layer(xx, -1.0, 1.0),
+        ),
+        "no_norm": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], key=ks[0], hidden_dim_s=16,
+                              hidden_dim_t=16),
+            df.coupling_layer(d, [2, 3, 4], key=ks[1], hidden_dim_s=16,
+                              hidden_dim_t=16),
+        ),
+        "deep": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], key=ks[0], n_sublayers_s=3,
+                              n_sublayers_t=3, hidden_dim_s=12,
+                              hidden_dim_t=12),
+            df.normalization_layer(xx, -1.0, 1.0),
+        ),
+    }
+    _parity(data, x, builders[variant])
+
+
+def test_unconditional_parity():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(90, 4)).astype(np.float32)
+    data = df.DataArrays.make(x, rng=0)
+    key = jax.random.key(0)
+    _parity(data, x, lambda d, xx: df.flow_chain(
+        df.coupling_layer(d, [0, 1], key=key, hidden_dim_s=8,
+                          hidden_dim_t=8),
+        df.normalization_layer(xx, -1.0, 1.0),
+    ), epochs=3)
+
+
+def test_cross_path_continuation(cond_data):
+    """A fused run continued by the jnp program (and vice versa) matches
+    the all-jnp two-stage run — the opt_state roundtrips exactly."""
+    data, x = cond_data
+    key = jax.random.key(0)
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=key, hidden_dim_s=16,
+                              hidden_dim_t=16),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    f_ref = build()
+    s = df.train(f_ref, data, epochs=3, verbose=False, key=jax.random.key(5))
+    df.train(f_ref, data, opt_state=s, epochs=3, verbose=False,
+             key=jax.random.key(6))
+
+    f_a = build()  # fused -> jnp
+    s = df.train(f_a, data, epochs=3, verbose=False, key=jax.random.key(5),
+                 fused_kernel=True)
+    df.train(f_a, data, opt_state=s, epochs=3, verbose=False,
+             key=jax.random.key(6))
+    np.testing.assert_allclose(f_a.valid_loss, f_ref.valid_loss, atol=ATOL)
+
+    f_b = build()  # jnp -> fused
+    s = df.train(f_b, data, epochs=3, verbose=False, key=jax.random.key(5))
+    df.train(f_b, data, opt_state=s, epochs=3, verbose=False,
+             key=jax.random.key(6), fused_kernel=True)
+    np.testing.assert_allclose(f_b.valid_loss, f_ref.valid_loss, atol=ATOL)
+
+
+def test_unsupported_raises(cond_data):
+    data, x = cond_data
+    key = jax.random.key(0)
+    flow = df.Flow(df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=key),
+        df.normalization_layer(x, -1.0, 1.0),
+    ), data)
+
+    import optax
+
+    with pytest.raises(ValueError, match="built-in Adam"):
+        df.train(flow, data, optax.adam(1e-3), epochs=1, verbose=False,
+                 fused_kernel=True)
+    with pytest.raises(ValueError, match="plain training surface"):
+        df.train(flow, data, epochs=1, verbose=False, fused_kernel=True,
+                 mixed_precision=True)
+    with pytest.raises(ValueError, match="plain training surface"):
+        df.train(flow, data, epochs=1, verbose=False, fused_kernel=True,
+                 weights=np.ones(data.x.shape[0]))
+
+    # clamped log-scale couplings are outside the kernel envelope
+    clamped = df.Flow(df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=key, max_log_scale=3.0),
+    ), data)
+    with pytest.raises(UnsupportedFusedTrain):
+        df.train(clamped, data, epochs=1, verbose=False, fused_kernel=True)
+
+    # unsupported layer types fall out of the fold
+    spline_like = df.Flow(df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=key),
+        df.permutation_layer([4, 3, 2, 1, 0]),
+    ), data)
+    with pytest.raises(UnsupportedFusedTrain):
+        df.train(spline_like, data, epochs=1, verbose=False,
+                 fused_kernel=True)
+
+
+def test_fold_unfold_roundtrip(cond_data):
+    """unfold(fold(chain)) reproduces every weight bit-for-bit."""
+    data, x = cond_data
+    key = jax.random.key(9)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=key, hidden_dim_s=16,
+                          hidden_dim_t=16),
+        df.coupling_layer(data, [2, 3, 4], key=jax.random.key(10),
+                          joint_conditioner=True, hidden_dim_s=16,
+                          hidden_dim_t=16),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    (_plan, _tc, tparams, _m, _ms, _c, _fold_state,
+     unfold) = chain_train_fold(chain)
+    rebuilt = unfold(list(tparams))
+    for a, b in zip(jax.tree_util.tree_leaves(chain),
+                    jax.tree_util.tree_leaves(rebuilt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
