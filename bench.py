@@ -14,13 +14,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Timing method: two-point differencing — the workload runs at two sizes
-(50 vs 10 epochs; M reps of a sweep inside one ``lax.scan`` at two
+(510 vs 10 epochs; M reps of a sweep inside one ``lax.scan`` at two
 lengths) and the rate is computed from the difference, which cancels the
 tunnel's per-dispatch constant exactly (it flips between ~1 ms and
-~28 ms per process lifetime; see docs/design.md §3 postmortem). Scan
-bodies reduce over EVERY output element so XLA cannot dead-code-eliminate
-rows. ``vs_baseline`` compares against the first recorded TPU measurement
-(BENCH_BASELINE.json, written on first run).
+~28 ms per process lifetime; see docs/design.md §3 postmortem). The
+headline train rate times RAW program dispatches (one dispatch per timed
+call, LO/HI interleaved across both train paths) — never whole
+``df.train()`` calls, whose seconds of per-call host work made the
+r02/r03 headlines session-incomparable (design.md §12). Scan bodies
+reduce over EVERY output element so XLA cannot dead-code-eliminate rows.
+``vs_baseline`` compares against the first recorded TPU measurement
+(BENCH_BASELINE.json, written on first run — a r01 jnp-path anchor, so
+the fused-kernel headline reads as a genuine multiple of it).
 """
 
 import json
@@ -34,6 +39,7 @@ import numpy as np
 # per-call jitter — the wider gap puts the signal well above it
 EPOCHS_LO, EPOCHS_HI = 10, 510
 M1, M2, REPS = 2, 8, 5
+TRAIN_REPS = 10
 
 
 def _timed(fn, *args):
@@ -105,6 +111,146 @@ def _scan_rate(make_scan, work_per_rep, *args, m1=M1, m2=M2):
     raise RuntimeError(
         f"two-point measurement stayed jitter-dominated up to m2={m2}"
     )
+
+
+def measure_train_paths(jax, df, flow, data, *, reps=TRAIN_REPS,
+                        lo=EPOCHS_LO, hi=EPOCHS_HI, fused_hi=None,
+                        verbose=False):
+    """Raw-program interleaved two-point rates for BOTH train paths.
+
+    Each timed call is ONE program dispatch: the jnp path times the raw
+    ``make_train_program`` callable on pre-placed device inputs; the
+    fused path times a jitted wrapper around ``run_fused_train`` on
+    pre-folded params. LO/HI interleaved across paths; rate = Δt/Δepochs
+    (median over reps). Whole ``df.train()`` calls are NOT timed — their
+    ~seconds of per-call host work swamps the device signal and made the
+    r02/r03 headline incomparable across sessions (design.md §12).
+
+    Returns ``(jnp_samples_per_sec, fused_samples_per_sec, details)``.
+    """
+    import jax.numpy as jnp
+
+    from densityflows_tpu.models.fused_train import chain_train_fold
+    from densityflows_tpu.ops.pallas_train import run_fused_train
+    from densityflows_tpu.train import _default_adam, make_train_program
+
+    # the fused kernel is ~10× faster per epoch, so its two-point gap
+    # must be ~10× wider for the same signal-to-jitter ratio (a 500-epoch
+    # gap is only ~28 ms of device time — measured ±30% rep spread)
+    if fused_hi is None:
+        fused_hi = lo + 8 * (hi - lo)
+
+    opt = _default_adam()
+    x_t, th_t = data.normalized_training_data(flow.metadata)
+    x_v, th_v = data.normalized_validation_data(flow.metadata)
+    x_t, th_t = jnp.asarray(x_t), jnp.asarray(th_t)
+    x_v, th_v = jnp.asarray(x_v), jnp.asarray(th_v)
+    n_train = x_t.shape[0]
+    key = jax.random.key(2)
+
+    progs = {e: make_train_program(opt, 64, e) for e in (lo, hi)}
+
+    def run_jnp(e):
+        # fresh device copies: the program donates (model, opt_state)
+        model = jax.tree_util.tree_map(jnp.array, flow.model)
+        opt_state = opt.init(model)
+        jax.block_until_ready((model, opt_state))
+        t0 = time.perf_counter()
+        out = progs[e](model, opt_state, flow.base, x_t, th_t, x_v, th_v,
+                       key)
+        jax.block_until_ready(out[2])
+        return time.perf_counter() - t0
+
+    (plan, tcounts, tparams, masks, mask_slots, cparams, _fold_state,
+     _unfold) = chain_train_fold(flow.model)
+    mu0 = [jnp.zeros_like(p) for p in tparams]
+    nu0 = [jnp.zeros_like(p) for p in tparams]
+
+    def make_fused(e):
+        @jax.jit
+        def run(tp, mu, nu, k):
+            out = run_fused_train(
+                plan, tcounts, list(tp), masks, mask_slots, cparams,
+                list(mu), list(nu), x_t, th_t, x_v, th_v, k,
+                epochs=e, batchsize=64)
+            return out[3]  # train history: blocks on kernel completion
+
+        return run
+
+    fused_progs = {e: make_fused(e) for e in (lo, fused_hi)}
+
+    def run_fused(e):
+        t0 = time.perf_counter()
+        out = fused_progs[e](tuple(tparams), tuple(mu0), tuple(nu0), key)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    # warm (compile) all four programs
+    for e in (lo, hi):
+        tj = run_jnp(e)
+        if verbose:
+            print(f"warm jnp epochs={e}: {tj:.3f}s", flush=True)
+    for e in (lo, fused_hi):
+        tf = run_fused(e)
+        if verbose:
+            print(f"warm fused epochs={e}: {tf:.3f}s", flush=True)
+
+    dj, dfu = [], []
+    for r in range(reps):
+        tj_lo = run_jnp(lo)
+        tf_lo = run_fused(lo)
+        tj_hi = run_jnp(hi)
+        tf_hi = run_fused(fused_hi)
+        dj.append((tj_hi - tj_lo) / (hi - lo))
+        dfu.append((tf_hi - tf_lo) / (fused_hi - lo))
+        if verbose:
+            print(f"rep {r}: jnp {dj[-1]*1e6:.1f} us/epoch, "
+                  f"fused {dfu[-1]*1e6:.1f} us/epoch", flush=True)
+
+    ej, ef = float(np.median(dj)), float(np.median(dfu))
+    if ej <= 0 or ef <= 0:
+        raise RuntimeError(
+            f"train-path timing jitter-dominated: medians jnp={ej} "
+            f"fused={ef} s/epoch")
+    details = {
+        "jnp_us_per_epoch": ej * 1e6,
+        "fused_us_per_epoch": ef * 1e6,
+        "jnp_spread_us": [min(dj) * 1e6, max(dj) * 1e6],
+        "fused_spread_us": [min(dfu) * 1e6, max(dfu) * 1e6],
+        "n_train": n_train,
+    }
+    return n_train / ej, n_train / ef, details
+
+
+def fused_train_parity_gate(jax, df, data, build_flow, epochs=50):
+    """On-hardware loss-history parity of the whole-run train kernel vs
+    the jnp program (identical keys ⇒ identical batch composition). The
+    CPU interpreter cannot catch Mosaic-lowering bugs (the round-2 PRNG
+    sign-extension class, design.md §3b), so this gate runs on every
+    driver bench. Raises past tolerance: the histories may drift to
+    float-accumulation order over 50 chaotic epochs (measured ~2e-2),
+    but divergence or non-finite values mean the kernel is broken.
+    """
+    f_j, f_f = build_flow(), build_flow()
+    df.train(f_j, data, epochs=epochs, verbose=False,
+             key=jax.random.key(1), fused_kernel=False)
+    df.train(f_f, data, epochs=epochs, verbose=False,
+             key=jax.random.key(1), fused_kernel=True)
+    errs = [abs(a - b) for a, b in zip(f_j.train_loss, f_f.train_loss)]
+    errs += [abs(a - b) for a, b in zip(f_j.valid_loss, f_f.valid_loss)]
+    err = max(errs)
+    finite = (np.isfinite(f_j.train_loss).all()
+              and np.isfinite(f_f.train_loss).all())
+    if not finite or err > 0.1:
+        raise RuntimeError(
+            f"fused-train kernel diverged from the jnp program on "
+            f"hardware: max history err {err}, finite={finite} "
+            f"(final jnp={f_j.train_loss[-1]}, fused={f_f.train_loss[-1]})")
+    return {
+        "fused_train_parity_max_err": round(float(err), 6),
+        "final_nll_jnp": float(f_j.train_loss[-1]),
+        "final_nll_fused": float(f_f.train_loss[-1]),
+    }
 
 
 def _sample_rate(flow, n_draws, theta):
@@ -367,38 +513,25 @@ def main():
         )
         return df.Flow(chain, data)
 
-    n_train = len(data.partition.training)
+    # on-hardware parity gate for the whole-run train kernel (raises on
+    # divergence), doubling as the correctness contract: final NLL after
+    # the reference's 50 epochs, from the auto-routed (fused) path
+    par = fused_train_parity_gate(jax, df, data, build_flow)
+    final_nll = par["final_nll_fused"]
 
-    # two-point training rate: whole-run programs at 10 and 50 epochs
-    # (each is ONE fused device program; the time difference is pure
-    # device compute for 40 epochs). Warm both programs first.
-    for epochs in (EPOCHS_LO, EPOCHS_HI):
-        df.train(build_flow(), data, epochs=epochs, verbose=False,
-                 key=jax.random.key(1))
-    diffs = []
-    for _ in range(REPS):
-        f_lo, f_hi = build_flow(), build_flow()
-        t0 = time.perf_counter()
-        df.train(f_lo, data, epochs=EPOCHS_LO, verbose=False,
-                 key=jax.random.key(2))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        df.train(f_hi, data, epochs=EPOCHS_HI, verbose=False,
-                 key=jax.random.key(2))
-        t_hi = time.perf_counter() - t0
-        diffs.append((t_hi - t_lo) / (EPOCHS_HI - EPOCHS_LO))
-    train_sps = n_train / float(np.median(diffs))
-    # spread across reps (the tunnel's dispatch-mode flips dominate it):
-    # report so the headline is quotable as median ± spread
-    q25, q75 = np.percentile(diffs, [75, 25])  # note: rate is 1/time
-    train_sps_lo, train_sps_hi = n_train / float(q25), n_train / float(q75)
-
-    # correctness contract: final NLL after the reference's 50 epochs
+    # headline: raw-program interleaved two-point rates for BOTH paths.
+    # train() auto-routes the reference config through the fused kernel
+    # on TPU (train.py fused_kernel='auto'), so the fused rate IS the
+    # headline; the jnp rate is reported for continuity with r01-r03.
     flow = build_flow()
-    df.train(flow, data, epochs=50, verbose=False, key=jax.random.key(1))
-    final_nll = flow.train_loss[-1]
+    sps_jnp, sps_fused, det = measure_train_paths(jax, df, flow, data)
+    train_sps = sps_fused
+    n_train = det["n_train"]
+    train_sps_lo = n_train / (det["fused_spread_us"][1] / 1e6)
+    train_sps_hi = n_train / (det["fused_spread_us"][0] / 1e6)
 
-    # sampling draws/s (scanned two-point sweep over the trained flow)
+    # sampling draws/s (scanned two-point sweep over a trained flow)
+    df.train(flow, data, epochs=50, verbose=False, key=jax.random.key(1))
     sample_dps = _sample_rate(flow, 1 << 20, (-1.0,))
 
     # flagship wide config (BASELINE.json config 3)
@@ -432,6 +565,12 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "value_range": [round(train_sps_lo, 1), round(train_sps_hi, 1)],
                 "final_train_nll": round(float(final_nll), 4),
+                "ref_jnp_train_samples_per_sec": round(sps_jnp, 1),
+                "ref_fused_train_samples_per_sec": round(sps_fused, 1),
+                "fused_train_parity_max_err":
+                    par["fused_train_parity_max_err"],
+                "headline_path": "fused whole-run train kernel "
+                                 "(auto-routed; ops/pallas_train.py)",
                 "sample_draws_per_sec": round(sample_dps, 1),
                 "wide_train_samples_per_sec": round(wide["train_sps"], 1),
                 "wide_sample_draws_per_sec": round(wide["sample_dps"], 1),
@@ -451,7 +590,8 @@ def main():
                 "fused_sample_moment_err": wide["fused_sample_moment_err"],
                 "peak_tflops_bf16": wide["peak_tflops_bf16"],
                 "device_kind": wide["device_kind"],
-                "timing": "two-point dispatch-cancelled (docs/design.md §3)",
+                "timing": "raw-program interleaved two-point "
+                          "(docs/design.md §3, §12)",
                 "device": str(jax.devices()[0]),
             }
         )

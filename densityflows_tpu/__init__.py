@@ -70,6 +70,7 @@ from .data_stream import StreamingLoader, train_streaming
 from .ensemble import EnsembleFlow, train_ensemble, stack_models
 from .inference import (
     SMCState,
+    clear_caches,
     effective_sample_size,
     fit_posterior,
     fit_posterior_apt,
@@ -77,6 +78,7 @@ from .inference import (
     fit_variational,
     flow_mcmc,
     make_weighted_train_step,
+    mcmc_diagnostics,
     run_smc,
     sample_with_rejection,
     sbc_ranks,
@@ -136,7 +138,8 @@ __all__ = [
     "fit_posterior", "fit_posterior_apt", "fit_posterior_rounds", "fit_variational",
     "effective_sample_size", "systematic_resample",
     "SMCState", "smc_step", "run_smc",
-    "flow_mcmc", "sbc_ranks", "sbc_uniformity",
+    "flow_mcmc", "mcmc_diagnostics", "sbc_ranks", "sbc_uniformity",
+    "clear_caches",
     "summarize",
     # persistence
     "save_flow", "load_flow", "save_element", "load_element",

@@ -56,8 +56,10 @@ __all__ = [
     "smc_step",
     "run_smc",
     "flow_mcmc",
+    "mcmc_diagnostics",
     "sbc_ranks",
     "sbc_uniformity",
+    "clear_caches",
 ]
 
 
@@ -106,6 +108,29 @@ class _IdentityCache:
 _REJECTION_CACHE = _IdentityCache()
 _MCMC_CACHE = _IdentityCache()
 _SMC_CACHE = _IdentityCache()
+
+
+def clear_caches() -> None:
+    """Drop every id-keyed compiled-program cache (inference + train).
+
+    The engine caches whole-run programs keyed on the IDENTITY of the
+    Python objects that configure them (optimizer / log-density
+    instances), and entries live forever: a long-lived process sweeping
+    many distinct targets or optimizers accumulates programs. Calling
+    this releases them all (and XLA's own executable references with
+    them). Existing flows keep working — the next engine call simply
+    re-traces. ``trace_counts`` is left intact (it is a diagnostic
+    counter, not a cache).
+    """
+    # NOT `from . import train` — the package re-exports the train()
+    # FUNCTION under that name, shadowing the module attribute
+    from .train import _PROGRAM_CACHE
+
+    _PROGRAM_CACHE.clear()
+    _VI_CACHE.clear()
+    _APT_CACHE._store.clear()
+    for c in (_REJECTION_CACHE, _MCMC_CACHE, _SMC_CACHE):
+        c._store.clear()
 
 
 def _particle_sharding(mesh):
@@ -930,8 +955,10 @@ def flow_mcmc(
 
     Returns ``(samples, diagnostics)`` with samples of shape
     ``(n_steps - burn_in, n_chains, d)`` and diagnostics carrying the
-    per-step mean acceptance. No reference counterpart (its only sampler
-    is serial rejection, src/Flows.jl:196-229).
+    per-step mean acceptance plus convergence checks (``r_hat``/``ess``
+    from :func:`mcmc_diagnostics`, when ≥ 4 steps are kept). No
+    reference counterpart (its only sampler is serial rejection,
+    src/Flows.jl:196-229).
     """
     if method not in ("independence", "neutra"):
         raise ValueError("method must be 'independence' or 'neutra'")
@@ -946,10 +973,17 @@ def flow_mcmc(
 
     cache_key = (id(log_density), n_chains, n_steps, method,
                  float(step_size), chain_sharding)
+    def _result(xs, acc):
+        kept = xs[burn_in:]
+        diag = {"accept_rate": acc, "burn_in": burn_in}
+        if kept.shape[0] >= 4:  # split-R̂/ESS need a few kept steps
+            diag.update(mcmc_diagnostics(kept))
+        return kept, diag
+
     program = _MCMC_CACHE.get(cache_key, (log_density,))
     if program is not None:
         xs, acc = program(model, base, theta_n, key)
-        return xs[burn_in:], {"accept_rate": acc, "burn_in": burn_in}
+        return _result(xs, acc)
 
     def constrain(a):
         if chain_sharding is not None:
@@ -1006,7 +1040,67 @@ def flow_mcmc(
 
     _MCMC_CACHE.put(cache_key, (log_density,), program)
     xs, acc = program(model, base, theta_n, key)
-    return xs[burn_in:], {"accept_rate": acc, "burn_in": burn_in}
+    return _result(xs, acc)
+
+
+def mcmc_diagnostics(samples):
+    """Split-R̂ and effective sample size from ``(steps, chains, d)`` draws.
+
+    The standard convergence checks to run before trusting MCMC output
+    (Gelman et al., BDA3 §11.4–11.5; Vehtari et al. 2021 split-chain
+    form — the same estimators Stan reports):
+
+    - ``r_hat``: (d,) split-chain potential-scale-reduction. Each chain
+      is split in half (catching within-chain drift that whole-chain R̂
+      misses); R̂ ≈ 1.00 for mixed chains, > 1.01 flags non-convergence.
+    - ``ess``: (d,) combined effective sample size across all chains,
+      from FFT autocovariances averaged over chains with Geyer
+      initial-positive-sequence truncation.
+
+    Pure host-side numpy on the returned samples (no device work).
+    """
+    s = np.asarray(samples, np.float64)
+    if s.ndim != 3:
+        raise ValueError(f"need (steps, chains, d) samples, got {s.shape}")
+    n, m, d = s.shape
+    if n < 4:
+        raise ValueError(f"need >= 4 post-burn-in steps for split-R̂, got {n}")
+    half = n // 2
+    sp = np.concatenate([s[:half], s[n - half:]], axis=1)  # (half, 2m, d)
+    cn, cm = sp.shape[0], sp.shape[1]
+    means = sp.mean(axis=0)                                # (2m, d)
+    vars_ = sp.var(axis=0, ddof=1)
+    w = vars_.mean(axis=0)                                 # within-chain
+    b = cn * means.var(axis=0, ddof=1)                     # between-chain
+    var_plus = (cn - 1) / cn * w + b / cn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r_hat = np.where(w > 0, np.sqrt(var_plus / w), np.inf)
+        # constant-everywhere dims are trivially converged
+        r_hat = np.where((w == 0) & (b == 0), 1.0, r_hat)
+
+    # combined-chain autocovariance via FFT (biased 1/cn normalization)
+    centered = sp - means[None]
+    nfft = 1 << int(2 * cn - 1).bit_length()
+    f = np.fft.rfft(centered, nfft, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=0)[:cn].real / cn
+    mean_acov = acov.mean(axis=1)                          # (cn, d)
+    safe_vp = np.where(var_plus > 0, var_plus, 1.0)
+    rho = 1.0 - (w[None] - mean_acov) / safe_vp            # (cn, d)
+
+    ess = np.empty(d)
+    for j in range(d):
+        if var_plus[j] == 0:
+            ess[j] = cm * cn
+            continue
+        tau, t = 1.0, 1
+        while t + 1 < cn:
+            pair = rho[t, j] + rho[t + 1, j]
+            if pair <= 0:
+                break
+            tau += 2.0 * pair
+            t += 2
+        ess[j] = cm * cn / max(tau, 1e-12)
+    return {"r_hat": r_hat, "ess": ess}
 
 
 # -- simulation-based calibration (SBC) -------------------------------------

@@ -51,6 +51,13 @@ _ACTS = ("relu", "tanh", "sigmoid", "identity")
 # VMEM feasibility ceiling (bytes) — mirrors ops/pallas_train._VMEM_BUDGET
 _BUDGET = 9 * 1024 * 1024
 
+# HBM ceiling for the pre-gathered batch slab (ops/pallas_train.py
+# materializes (epochs, n_batches, batch, d[+n]) in HBM before the kernel
+# — O(epochs × rows) memory the VMEM estimate does not see). 2 GB leaves
+# the v5e's 16 GB HBM plenty of headroom; the envelope this kernel wins
+# in (launch-bound tiny configs) is far below it anyway.
+_HBM_SLAB_BUDGET = 2 * 1024**3
+
 
 class UnsupportedFusedTrain(ValueError):
     """The chain / config is outside the fused-train kernel's envelope."""
@@ -487,7 +494,8 @@ def chain_train_fold(chain):
             cparams, fold_state, unfold)
 
 
-def _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize):
+def _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize,
+                  epochs):
     n_batches = -(-n // batchsize)
     need = train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize,
                             d, n_cond, n, nv)
@@ -496,6 +504,13 @@ def _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize):
             f"working set ~{need / 1e6:.1f} MB exceeds the VMEM budget "
             f"({_BUDGET / 1e6:.0f} MB) — dataset/model too large for the "
             "whole-run kernel; use train() (its scan streams from HBM)")
+    slab = epochs * n_batches * batchsize * (d + n_cond) * 4
+    if slab > _HBM_SLAB_BUDGET:
+        raise UnsupportedFusedTrain(
+            f"pre-gathered batch slab ~{slab / 1e9:.1f} GB (epochs × rows "
+            f"× features) exceeds the HBM budget "
+            f"({_HBM_SLAB_BUDGET / 1e9:.0f} GB) — run fewer epochs per "
+            "call or use train() (its scan re-gathers per epoch)")
 
 
 def train_fused(
@@ -537,7 +552,8 @@ def train_fused(
         raise UnsupportedFusedTrain("empty training/validation split")
     d = x_train.shape[-1]
     n_cond = th_train.shape[-1]
-    _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize)
+    _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize,
+                  epochs)
 
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))

@@ -149,8 +149,11 @@ def scaling_report(
         mask = put_global(mesh, np.ones((batch,), np.float32))
 
         def make_train_scan(m):
+            # x/theta/mask are ARGUMENTS, not closure captures: a jit
+            # may not close over globally-sharded (non-addressable)
+            # arrays on a multi-process mesh
             @jax.jit
-            def run(model, opt_state):
+            def run(model, opt_state, x, theta, mask):
                 def body(c, _):
                     mm, oo = c
                     loss, grads = jax.value_and_grad(masked_nll_loss)(
@@ -167,7 +170,7 @@ def scaling_report(
             return run
 
         tps, t_method = _scan_rate(make_train_scan, batch,
-                                   (model, opt_state), reps)
+                                   (model, opt_state, x, theta, mask), reps)
 
         def make_sample_scan(m):
             @jax.jit

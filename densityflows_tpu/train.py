@@ -513,7 +513,7 @@ def train(
     mixed_precision: bool = False,
     weights=None,
     skip_nonfinite: bool = False,
-    fused_kernel: bool = False,
+    fused_kernel: bool | str = "auto",
     _track_best: bool = False,
 ):
     """Train the flow by NLL (reference ``train!``, src/Flows.jl:380-445).
@@ -562,26 +562,60 @@ def train(
     Returns ``opt_state`` so training can be continued exactly (the
     reference loses optimizer state across save/load; we keep it).
 
-    ``fused_kernel=True`` runs the WHOLE multi-epoch loop as ONE Pallas
-    kernel with params/Adam moments resident in VMEM
+    ``fused_kernel`` selects the WHOLE-run Pallas kernel that executes
+    every epoch as ONE kernel with params/Adam moments resident in VMEM
     (models/fused_train.py) — the launch-overhead killer for small
-    configs (the reference README config is >99% kernel-sequence
-    overhead per step). Supported surface: RNVP/joint/NICE couplings +
+    configs, measured 10.3× the jnp program on the reference README
+    config on a v5e (55 µs vs 567 µs per epoch, round-4 probe;
+    docs/design.md §12). Supported surface: RNVP/joint/NICE couplings +
     Normalization layers, StandardNormal base, the default Adam(1e-3),
     no mesh/weights/remat/mixed_precision/skip_nonfinite. Same shuffle
-    keys and batch composition as the jnp program; the returned
-    opt_state is optax-compatible so either path continues the other.
+    keys and batch composition as the jnp program (losses match to
+    float accumulation order); the returned opt_state is
+    optax-compatible so either path continues the other.
+
+    - ``"auto"`` (default): route through the kernel when running on a
+      real TPU backend, the call is on the plain training surface, and
+      the chain/config is inside the kernel envelope (incl. its
+      VMEM/HBM budgets); silently fall back to the jnp program
+      otherwise. CPU/interpret backends never auto-route.
+    - ``True``: force the kernel; raises ``ValueError`` /
+      ``UnsupportedFusedTrain`` outside the supported surface.
+    - ``False``: always the jnp program.
     """
+    if fused_kernel == "auto":
+        plain_surface = not (
+            mesh is not None or weights is not None or remat
+            or mixed_precision or skip_nonfinite or _track_best
+            or debug or checkpoint_dir is not None
+            or early_stopping_patience is not None
+            or optimizer is not None or metrics_log is not None)
+        if plain_surface and jax.default_backend() == "tpu":
+            from .models.fused_train import (
+                UnsupportedFusedTrain,
+                train_fused,
+            )
+
+            try:
+                return train_fused(
+                    flow, data, epochs=epochs, batchsize=batchsize,
+                    shuffle=shuffle, verbose=verbose, key=key,
+                    opt_state=opt_state,
+                )
+            except UnsupportedFusedTrain:
+                pass  # outside the envelope — the jnp program handles it
+        fused_kernel = False
     if fused_kernel:
         if (mesh is not None or weights is not None or remat
                 or mixed_precision or skip_nonfinite or _track_best
                 or debug or checkpoint_dir is not None
+                or metrics_log is not None
                 or early_stopping_patience is not None):
             raise ValueError(
                 "fused_kernel=True supports the plain training surface "
                 "only (no mesh/weights/remat/mixed_precision/"
-                "skip_nonfinite/debug/checkpointing/early stopping) — "
-                "drop fused_kernel to use the jnp program")
+                "skip_nonfinite/debug/checkpointing/metrics_log/early "
+                "stopping) — drop fused_kernel to use the jnp program")
         if optimizer is not None:
             raise ValueError(
                 "fused_kernel=True uses the built-in Adam update; pass "

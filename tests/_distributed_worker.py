@@ -116,6 +116,30 @@ def main() -> None:
     stream_loss = float(sflow.train_loss[-1])
     assert np.isfinite(stream_loss)
 
+    # scaling_report under the multi-process rig: the full-job-mesh
+    # branch (parallel/scaling.py:117-129) must EXECUTE across both
+    # processes, and sub-mesh sweeps must be rejected (VERDICT r3 #8)
+    from densityflows_tpu.parallel.scaling import scaling_report
+
+    def make_model(key):
+        return df.flow_chain(
+            df.coupling_block(4, None, n=2, key=key, hidden_dim_s=8,
+                              hidden_dim_t=8),
+        )
+
+    pts = scaling_report(make_model, 4, 2, per_device_batch=16,
+                         device_counts=[8], reps=2)
+    assert len(pts) == 1 and pts[0].n_devices == 8
+    assert np.isfinite(pts[0].train_samples_per_sec)
+    assert np.isfinite(pts[0].sample_draws_per_sec)
+    scaling_sps = float(pts[0].train_samples_per_sec)
+    try:
+        scaling_report(make_model, 4, 2, per_device_batch=16,
+                       device_counts=[4], reps=1)
+        raise AssertionError("sub-mesh sweep must be rejected multi-process")
+    except ValueError:
+        pass
+
     with open(os.path.join(out_dir, f"result_{pid}.json"), "w") as f:
         json.dump(
             {
@@ -124,6 +148,7 @@ def main() -> None:
                 "valid_loss": [float(v) for v in flow.valid_loss],
                 "ckpt_roundtrip_ok": True,
                 "stream_loss": stream_loss,
+                "scaling_train_sps": scaling_sps,
             },
             f,
         )

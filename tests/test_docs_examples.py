@@ -180,3 +180,31 @@ def test_api_reference_is_fresh():
     assert committed == mod.render(), (
         "docs/api.md is stale — run: python tools/render_api.py"
     )
+
+
+def test_readme_perf_block_is_fresh():
+    """README §Performance must match what tools/render_readme_perf.py
+    generates from the NEWEST BENCH_r*.json capture (driver captures
+    included) — a new driver capture without a README refresh fails
+    here (VERDICT r3 item 3)."""
+    import importlib.util
+    import re
+
+    root = os.path.dirname(_DOCS)
+    spec = importlib.util.spec_from_file_location(
+        "render_readme_perf",
+        os.path.join(root, "tools", "render_readme_perf.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    expected = mod.render(mod.latest_capture())
+    with open(os.path.join(root, "README.md")) as f:
+        text = f.read()
+    m = re.search(
+        re.escape(mod.BEGIN) + r".*?" + re.escape(mod.END), text, re.DOTALL
+    )
+    assert m is not None, "README.md lost its BENCH_CAPTURE markers"
+    assert m.group(0) == expected, (
+        "README §Performance is stale — run: "
+        "python tools/render_readme_perf.py"
+    )

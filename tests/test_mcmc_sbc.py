@@ -100,3 +100,65 @@ def test_flow_mcmc_conditional_theta():
     )
     assert samples.shape == (40, 64, 2)
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_flow_mcmc_reports_convergence_diagnostics():
+    """A well-matched flow on a tractable Gaussian target mixes: R̂ ≈ 1
+    and the combined ESS is a large fraction of the sample count."""
+    flow = _identity_flow()
+    samples, diag = df.flow_mcmc(
+        flow, _target_logp, n_chains=256, n_steps=300, burn_in=100,
+        method="independence", key=jax.random.key(6),
+    )
+    assert diag["r_hat"].shape == (2,)
+    assert diag["ess"].shape == (2,)
+    # IMH with a standard-normal proposal on this shifted target sticks
+    # occasionally — R̂ lands ~1.02-1.03; well under the broken regime
+    assert np.all(diag["r_hat"] < 1.05)
+    assert np.all(diag["ess"] > 0.05 * 200 * 256)
+
+
+def test_mcmc_diagnostics_flag_unmixed_chains():
+    """Chains stuck in different modes: R̂ ≫ 1 and tiny ESS."""
+    rng = np.random.default_rng(0)
+    n, m, d = 200, 8, 2
+    offsets = rng.normal(scale=5.0, size=(1, m, d))
+    stuck = offsets + 0.1 * rng.normal(size=(n, m, d))
+    diag = df.mcmc_diagnostics(stuck)
+    assert np.all(diag["r_hat"] > 5.0)
+    assert np.all(diag["ess"] < 0.2 * n * m)
+
+    # and the same chains WITHOUT the offsets are fine
+    ok = df.mcmc_diagnostics(stuck - offsets)
+    assert np.all(ok["r_hat"] < 1.05)
+
+
+def test_mcmc_diagnostics_validates_input():
+    with pytest.raises(ValueError):
+        df.mcmc_diagnostics(np.zeros((10, 4)))
+    with pytest.raises(ValueError):
+        df.mcmc_diagnostics(np.zeros((3, 4, 2)))
+    # constant chains are trivially converged, not NaN
+    diag = df.mcmc_diagnostics(np.ones((50, 4, 1)))
+    assert diag["r_hat"][0] == 1.0
+
+
+def test_clear_caches_forces_retrace():
+    import sys
+
+    from densityflows_tpu import inference
+
+    # the package re-exports train() the FUNCTION as its `train`
+    # attribute, so the module must come from sys.modules
+    tr = sys.modules["densityflows_tpu.train"]
+
+    flow = _identity_flow()
+    kw = dict(n_chains=8, n_steps=6, burn_in=0, key=jax.random.key(7))
+    before = inference.trace_counts.get("mcmc", 0)
+    df.flow_mcmc(flow, _target_logp, **kw)
+    df.flow_mcmc(flow, _target_logp, **kw)
+    assert inference.trace_counts["mcmc"] == before + 1  # cache hit
+    df.clear_caches()
+    assert not tr._PROGRAM_CACHE
+    df.flow_mcmc(flow, _target_logp, **kw)
+    assert inference.trace_counts["mcmc"] == before + 2  # retraced

@@ -103,6 +103,9 @@ def test_two_process_dp_matches_single_process(tmp_path):
     # on both hosts
     assert results[0]["stream_loss"] == results[1]["stream_loss"]
     assert np.isfinite(results[0]["stream_loss"])
+    # scaling_report's full-job-mesh branch executed on both processes
+    assert results[0]["scaling_train_sps"] > 0
+    assert results[1]["scaling_train_sps"] > 0
 
     ref = _single_process_reference(epochs=epochs)
     np.testing.assert_allclose(
