@@ -20,7 +20,8 @@ Entry points:
   fused run can be continued by the jnp program and vice versa.
 
 Supported: FlowChain of RNVP / joint-RNVP / NICE couplings
-(activations relu/tanh/sigmoid/identity, ``max_log_scale=0``) +
+(activations relu/tanh/sigmoid/identity; ``max_log_scale`` tanh clamps
+included since r4 — the clamp derivative is value-based) +
 non-trainable NormalizationLayers, a StandardNormal base, the default
 Adam update. Anything else raises — callers fall back to ``train()``.
 """
@@ -339,9 +340,10 @@ def _coupling_fold(layer):
     ax = layer.axes
     if ax.transform_dim == 0 or ax.nn_input_dim == 0:
         raise UnsupportedFusedTrain("degenerate coupling axes")
-    if getattr(layer, "max_log_scale", 0.0):
-        raise UnsupportedFusedTrain(
-            "max_log_scale-clamped couplings keep the jnp path")
+    # Glow-style tanh clamp (layers.py max_log_scale): supported in the
+    # kernel since r4 — the clamp derivative 1 − (s_c/M)² is a function
+    # of the clamped VALUE, so it fits the value-based backward
+    clamp = float(getattr(layer, "max_log_scale", 0.0))
     d, n = ax.d, ax.n
     id_idx = np.asarray(ax.axis_id, np.int32)
     af_idx = np.asarray(ax.axis_af, np.int32)
@@ -354,26 +356,26 @@ def _coupling_fold(layer):
                                                   af_idx)
         op = ("coupling", "packed", "inv", L, 0,
               layer.s_net.activation, layer.s_net.activation,
-              has_bias, False, has_th, has_id)
+              has_bias, False, has_th, has_id, clamp)
         return op, params, masks
     if isinstance(layer, JointRNVPCouplingLayer):
         params, masks, L, has_bias = _joint_fold(layer, d, n, id_idx, af_idx)
         op = ("coupling", "joint", "inv", L, 0,
               layer.st_net.activation, layer.st_net.activation,
-              has_bias, False, has_th, has_id)
+              has_bias, False, has_th, has_id, clamp)
         return op, params, masks
     if isinstance(layer, RNVPCouplingLayer):
         ps, ms, n_s, bias_s = _fold_net(layer.s_net, d, n, id_idx, af_idx)
         pt, mt, n_t, bias_t = _fold_net(layer.t_net, d, n, id_idx, af_idx)
         op = ("coupling", "nvp", "inv", n_s, n_t,
               layer.s_net.activation, layer.t_net.activation,
-              bias_s, bias_t, has_th, has_id)
+              bias_s, bias_t, has_th, has_id, clamp)
         return op, ps + pt, ms + mt
     # NICE
     pt, mt, n_t, bias_t = _fold_net(layer.t_net, d, n, id_idx, af_idx)
     op = ("coupling", "nice", "inv", 0, n_t,
           "identity", layer.t_net.activation, False, bias_t,
-          has_th, has_id)
+          has_th, has_id, 0.0)
     return op, pt, mt
 
 

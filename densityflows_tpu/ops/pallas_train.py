@@ -114,7 +114,8 @@ def _mm_t(delta, w):
 
 def _split_net_layout(op):
     """(n_weight_blocks, n_dense_layers, has_bias) per net of a split op."""
-    _, kind, _, n_s, n_t, act_s, act_t, bias_s, bias_t, has_th, has_id = op
+    (_, kind, _, n_s, n_t, act_s, act_t, bias_s, bias_t, has_th, has_id,
+     _clamp) = op
     fb = (1 if has_th else 0) + (1 if has_id else 0)
     return fb
 
@@ -178,13 +179,26 @@ def _mlp_bwd(delta_out, x, th, acts, ws, act, L, has_th, has_id, has_bias):
     return wgrads, bgrads, xbar
 
 
+def _clamp_s(s_full, clamp):
+    """Glow-style tanh soft-clamp of the log-scale (layers.py
+    ``max_log_scale``): s_c = M·tanh(s/M). The folded s is exactly zero
+    on identity dims and tanh(0) = 0, so the clamp preserves the folded
+    zero pattern. Returns (s_c, dŝ/ds = 1 − (s_c/M)²) — the derivative
+    is a function of the clamped VALUE, so the backward needs no extra
+    cache beyond it."""
+    if not clamp:
+        return s_full, None
+    s_c = clamp * jnp.tanh(s_full / clamp)
+    return s_c, 1.0 - (s_c / clamp) ** 2
+
+
 def _coupling_fwd(op, prefs, x, th, ldj, want_cache):
     """Inverse-direction coupling (the training direction,
     RNVP.jl:77-96): z = (x − t)·exp(−s), ldj −= Σs. s/t are d-wide and
     exactly zero on identity dims (folded scatter), so the full-width
     transform IS the coupling."""
     (_, kind, _, n_s, n_t, act_s, act_t, bias_s, bias_t,
-     has_th, has_id) = op
+     has_th, has_id, clamp) = op
     fb = (1 if has_th else 0) + (1 if has_id else 0)
     if kind == "packed":
         # s/t pair as ONE MLP (concat first layer, block-diag hiddens,
@@ -209,12 +223,12 @@ def _coupling_fwd(op, prefs, x, th, ldj, want_cache):
         out = _mm(a, ws[L - 1])
         if bs is not None:
             out = out + bs[L - 1]
-        s_full = out[:, :d]
+        s_full, dcl = _clamp_s(out[:, :d], clamp)
         t_full = out[:, d:]
         e = jnp.exp(-s_full)
         z = (x - t_full) * e
         ldj = ldj - jnp.sum(s_full, axis=-1, keepdims=True)
-        cache = (x, inp, ws, acts, t_full, e) if want_cache else None
+        cache = (x, inp, ws, acts, t_full, e, dcl) if want_cache else None
         return z, ldj, cache
     if kind == "joint":
         L = n_s
@@ -247,10 +261,11 @@ def _coupling_fwd(op, prefs, x, th, ldj, want_cache):
         if bs is not None:
             s_full = s_full + bs[L - 1]
             t_full = t_full + bs[L]
+        s_full, dcl = _clamp_s(s_full, clamp)
         e = jnp.exp(-s_full)
         z = (x - t_full) * e
         ldj = ldj - jnp.sum(s_full, axis=-1, keepdims=True)
-        cache = (x, ws, acts, t_full, e) if want_cache else None
+        cache = (x, ws, acts, t_full, e, dcl) if want_cache else None
         return z, ldj, cache
 
     if kind == "nvp":
@@ -273,10 +288,11 @@ def _coupling_fwd(op, prefs, x, th, ldj, want_cache):
                               has_th, has_id)
 
     if kind == "nvp":
+        s_full, dcl = _clamp_s(s_full, clamp)
         e = jnp.exp(-s_full)
         z = (x - t_full) * e
         ldj = ldj - jnp.sum(s_full, axis=-1, keepdims=True)
-        cache = ((x, ws_s, acts_s, ws_t, acts_t, t_full, e)
+        cache = ((x, ws_s, acts_s, ws_t, acts_t, t_full, e, dcl)
                  if want_cache else None)
     else:  # NICE: volume preserving (NICE.jl:63-81)
         z = x - t_full
@@ -290,13 +306,15 @@ def _coupling_bwd(op, cache, th, gz, jbar):
     s̄) re-derived for the folded d-wide layout. Returns (gx, grads) with
     grads aligned to the op's folded trainable params."""
     (_, kind, _, n_s, n_t, act_s, act_t, bias_s, bias_t,
-     has_th, has_id) = op
+     has_th, has_id, _clamp) = op
     if kind == "packed":
-        x, inp, ws, acts, t_full, e = cache
+        x, inp, ws, acts, t_full, e, dcl = cache
         L = n_s
         n = inp.shape[-1] - x.shape[-1]
         z_val = (x - t_full) * e
         sbar = -gz * z_val - jbar
+        if dcl is not None:
+            sbar = sbar * dcl  # through the tanh clamp
         tbar = -gz * e
         delta = jnp.concatenate([sbar, tbar], axis=-1)  # (B, 2d)
         wgrads = [None] * L
@@ -316,11 +334,13 @@ def _coupling_bwd(op, cache, th, gz, jbar):
         gx = gz * e + xbar_c
         return gx, wgrads + bgrads
     if kind == "joint":
-        x, ws, acts, t_full, e = cache
+        x, ws, acts, t_full, e, dcl = cache
         L = n_s
         fb = (1 if has_th else 0) + (1 if has_id else 0)
         z_val = (x - t_full) * e
         sbar = -gz * z_val - jbar
+        if dcl is not None:
+            sbar = sbar * dcl  # through the tanh clamp
         tbar = -gz * e
         a_top = acts[-1]
         wg_s_head = _bt(a_top, sbar)
@@ -357,9 +377,11 @@ def _coupling_bwd(op, cache, th, gz, jbar):
         return gx, wgrads + bgrads
 
     if kind == "nvp":
-        x, ws_s, acts_s, ws_t, acts_t, t_full, e = cache
+        x, ws_s, acts_s, ws_t, acts_t, t_full, e, dcl = cache
         z_val = (x - t_full) * e
         sbar = -gz * z_val - jbar
+        if dcl is not None:
+            sbar = sbar * dcl  # through the tanh clamp
         tbar = -gz * e
         wg_s, bg_s, xb_s = _mlp_bwd(sbar, x, th, acts_s, ws_s, act_s,
                                     n_s, has_th, has_id, bias_s)

@@ -74,7 +74,8 @@ def test_reference_config_parity(cond_data):
 
 
 @pytest.mark.parametrize("variant", ["nice", "joint", "nobias_tanh",
-                                     "no_norm", "deep"])
+                                     "no_norm", "deep", "clamped",
+                                     "clamped_joint"])
 def test_variant_parity(cond_data, variant):
     data, x = cond_data
     ks = jax.random.split(jax.random.key(0), 2)
@@ -111,6 +112,22 @@ def test_variant_parity(cond_data, variant):
             df.coupling_layer(d, [0, 1, 2], key=ks[0], n_sublayers_s=3,
                               n_sublayers_t=3, hidden_dim_s=12,
                               hidden_dim_t=12),
+            df.normalization_layer(xx, -1.0, 1.0),
+        ),
+        # Glow-style tanh log-scale clamp: a LOW clamp so the nonlinear
+        # region is actually exercised (a loose clamp would reduce to the
+        # unclamped math and prove nothing)
+        "clamped": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], key=ks[0], hidden_dim_s=16,
+                              hidden_dim_t=16, max_log_scale=0.1),
+            df.coupling_layer(d, [2, 3, 4], key=ks[1], hidden_dim_s=16,
+                              hidden_dim_t=16, max_log_scale=0.5),
+            df.normalization_layer(xx, -1.0, 1.0),
+        ),
+        "clamped_joint": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], key=ks[0],
+                              joint_conditioner=True, hidden_dim_s=24,
+                              hidden_dim_t=24, max_log_scale=0.2),
             df.normalization_layer(xx, -1.0, 1.0),
         ),
     }
@@ -180,13 +197,6 @@ def test_unsupported_raises(cond_data):
     with pytest.raises(ValueError, match="plain training surface"):
         df.train(flow, data, epochs=1, verbose=False, fused_kernel=True,
                  weights=np.ones(data.x.shape[0]))
-
-    # clamped log-scale couplings are outside the kernel envelope
-    clamped = df.Flow(df.flow_chain(
-        df.coupling_layer(data, [0, 1, 2], key=key, max_log_scale=3.0),
-    ), data)
-    with pytest.raises(UnsupportedFusedTrain):
-        df.train(clamped, data, epochs=1, verbose=False, fused_kernel=True)
 
     # unsupported layer types fall out of the fold
     spline_like = df.Flow(df.flow_chain(
