@@ -90,12 +90,8 @@ def _coupling_entry(layer, dirn):
       ``y = x·exp(s_full) + t_full`` is then the whole coupling.
     """
     if isinstance(layer, JointRNVPCouplingLayer):
-        if layer.max_log_scale:
-            raise _Unsupported  # tanh-clamped s: jnp path only
         return _joint_coupling_entry(layer, dirn)
     if isinstance(layer, RNVPCouplingLayer):
-        if layer.max_log_scale:
-            raise _Unsupported  # tanh-clamped s: jnp path only
         kind, nets = "nvp", (layer.s_net, layer.t_net)
     else:
         kind, nets = "nice", (None, layer.t_net)
@@ -135,8 +131,9 @@ def _coupling_entry(layer, dirn):
     else:
         n_s, act_s, bias_s = 0, "identity", False
     n_t, act_t, bias_t = fold_net(t_net)
+    clamp = float(getattr(layer, "max_log_scale", 0.0))
     op = ("coupling", kind, dirn, n_s, n_t, act_s, act_t, bias_s, bias_t,
-          has_th, has_id)
+          has_th, has_id, clamp)
     return op, params
 
 
@@ -181,7 +178,8 @@ def _joint_coupling_entry(layer, dirn):
             scat = jnp.zeros((1, d), jnp.float32)
             params.append(scat.at[0, af_idx].set(head))
     op = ("coupling", "joint", dirn, n_layers, 0, net.activation,
-          net.activation, has_bias, False, has_th, has_id)
+          net.activation, has_bias, False, has_th, has_id,
+          float(layer.max_log_scale))
     return op, params
 
 

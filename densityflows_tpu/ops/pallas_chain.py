@@ -110,7 +110,8 @@ def _net_param_count(n_layers, has_bias, has_th, has_id) -> int:
 
 
 def coupling_param_count(op) -> int:
-    _, kind, _, n_s, n_t, _, _, bias_s, bias_t, has_th, has_id = op
+    (_, kind, _, n_s, n_t, _, _, bias_s, bias_t, has_th, has_id,
+     _clamp) = op
     if kind == "joint":
         # shared stack of n_s dense layers whose FINAL layer splits into
         # two folded (H, d) heads: first-layer blocks + (n_s−2) hidden
@@ -176,7 +177,8 @@ def _joint_mlp(x, th, prefs, op):
     """Two-headed conditioner: ONE shared stack, its activations hitting
     TWO folded (H, d) head weights — (s_full, t_full) from one pass (the
     JointRNVPCouplingLayer parameterization, models/layers.py)."""
-    _, _, _, n_layers, _, act, _, has_bias, _, has_th, has_id = op
+    (_, _, _, n_layers, _, act, _, has_bias, _, has_th, has_id,
+     _clamp) = op
     n_w = (1 if has_th else 0) + (1 if has_id else 0) + (n_layers - 2) + 2
     ws = prefs[:n_w]
     bs = prefs[n_w:] if has_bias else []
@@ -213,7 +215,7 @@ def _joint_mlp(x, th, prefs, op):
 
 def _apply_coupling(op, prefs, x, th, ldj):
     (_, kind, dirn, n_s, n_t, act_s, act_t, bias_s, bias_t,
-     has_th, has_id) = op
+     has_th, has_id, clamp) = op
     k = 0
     if kind == "joint":
         s_full, t_full = _joint_mlp(x, th, prefs, op)
@@ -228,6 +230,10 @@ def _apply_coupling(op, prefs, x, th, ldj):
     # the full-width transform IS the coupling: identity dims see
     # x·exp(0)+0 = x. Math parity: RNVP.jl:77-96, 168-187.
     if kind in ("nvp", "joint"):
+        if clamp:
+            # Glow-style tanh soft-clamp (layers.py max_log_scale);
+            # tanh(0) = 0 keeps the folded zeros on identity dims
+            s_full = clamp * jnp.tanh(s_full / clamp)
         if dirn == "fwd":
             x = x * jnp.exp(s_full) + t_full
             if ldj is not None:

@@ -245,3 +245,32 @@ def test_flow_sample_fused_matches_flow_contract(fixture_data):
     s2 = flow.sample((64,), th, key=jax.random.key(2))
     assert s2.shape == (64, 5)
     assert np.all(np.isfinite(s2))
+
+
+def test_clamped_chain_matches_oracle():
+    """max_log_scale tanh-clamped couplings route through the whole-chain
+    kernel since r4; parity vs the jnp fold in both directions (clamps
+    low enough that the nonlinear region is exercised)."""
+    from densityflows_tpu.models.fused_chain import _jnp_chain
+
+    d, n = 6, 2
+    ks = jax.random.split(jax.random.key(3), 3)
+    chain = df.flow_chain(
+        df.coupling_layer(d, [0, 1, 2], n=n, key=ks[0], hidden_dim_s=16,
+                          hidden_dim_t=16, zero_init_final=False,
+                          max_log_scale=0.2),
+        df.coupling_layer(d, [3, 4, 5], n=n, key=ks[1],
+                          joint_conditioner=True, hidden_dim_s=16,
+                          hidden_dim_t=16, zero_init_final=False,
+                          max_log_scale=0.5),
+    )
+    x, theta = _inputs(d, n)
+    for dirn in ("fwd", "inv"):
+        out = maybe_apply_fused(chain, x, theta, dirn, True)
+        assert out is not None, "clamped chain did not route"
+        y_f, ldj_f = out
+        y_o, ldj_o = _jnp_chain(chain, x, theta, dirn, True)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_o),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ldj_f), np.asarray(ldj_o),
+                                   atol=2e-5)
