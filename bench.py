@@ -115,7 +115,7 @@ def _scan_rate(make_scan, work_per_rep, *args, m1=M1, m2=M2):
 
 def measure_train_paths(jax, df, flow, data, *, reps=TRAIN_REPS,
                         lo=EPOCHS_LO, hi=EPOCHS_HI, fused_hi=None,
-                        verbose=False):
+                        batchsize=64, verbose=False):
     """Raw-program interleaved two-point rates for BOTH train paths.
 
     Each timed call is ONE program dispatch: the jnp path times the raw
@@ -148,7 +148,8 @@ def measure_train_paths(jax, df, flow, data, *, reps=TRAIN_REPS,
     n_train = x_t.shape[0]
     key = jax.random.key(2)
 
-    progs = {e: make_train_program(opt, 64, e) for e in (lo, hi)}
+    progs = {e: make_train_program(opt, batchsize, e)
+             for e in (lo, hi)}
 
     def run_jnp(e):
         # fresh device copies: the program donates (model, opt_state)
@@ -172,7 +173,7 @@ def measure_train_paths(jax, df, flow, data, *, reps=TRAIN_REPS,
             out = run_fused_train(
                 plan, tcounts, list(tp), masks, mask_slots, cparams,
                 list(mu), list(nu), x_t, th_t, x_v, th_v, k,
-                epochs=e, batchsize=64)
+                epochs=e, batchsize=batchsize)
             return out[3]  # train history: blocks on kernel completion
 
         return run

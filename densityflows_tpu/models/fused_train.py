@@ -529,6 +529,7 @@ def train_fused(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    track_best: bool = False,
 ):
     """``train()`` on the whole-run kernel (``train(fused_kernel=True)``).
 
@@ -538,6 +539,9 @@ def train_fused(
     ``opt_state`` (count + moments) so the run can be continued by either
     path. Batch composition matches ``train()`` exactly (same permutation
     keys); parameter trajectories agree to float accumulation order.
+    ``track_best=True`` returns ``(opt_state, best_model)`` — the exact
+    parameter pytree at the lowest-valid-NLL epoch, selected in-kernel
+    (the early-stopping restore path).
     """
     import optax
 
@@ -578,11 +582,12 @@ def train_fused(
     t0 = _time.perf_counter()
     theta = jnp.asarray(th_train) if n_cond else None
     theta_v = jnp.asarray(th_valid) if n_cond else None
-    p_new, mu_new, nu_new, tls, vls = run_fused_train(
+    p_new, mu_new, nu_new, tls, vls, best = run_fused_train(
         plan, tcounts, tparams, masks, mask_slots, cparams, mu, nu,
         jnp.asarray(x_train), theta, jnp.asarray(x_valid), theta_v, key,
         epochs=epochs, batchsize=batchsize, shuffle=shuffle,
         count0=count0, lr=lr, b1=b1, b2=b2, eps=eps,
+        track_best=track_best,
     )
     tls = np.asarray(tls)  # host fetch blocks on kernel completion
     vls = np.asarray(vls)
@@ -615,4 +620,6 @@ def train_fused(
         sps = epochs * n / elapsed if elapsed > 0 else float("inf")
         print(f"[fused-train kernel | {elapsed:.2f}s incl. compile | "
               f"{sps:,.0f} samples/s]")
+    if track_best:
+        return out_state, unfold(list(best))
     return out_state

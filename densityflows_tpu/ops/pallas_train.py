@@ -483,9 +483,9 @@ def _train_kernel(
     plan, offsets, mask_slots, cfg, *refs,
 ):
     """cfg: (n, d, batchsize, n_batches, n_train, n_ev_t, ev_off, n_ev_v,
-    count0, lr, b1, b2, eps, n_t, n_c, n_m) — all static."""
+    count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best) — all static."""
     (n, d, bs_rows, n_batches, n_train, n_ev_t, ev_off, n_ev_v,
-     count0, lr, b1, b2, eps, n_t, n_c, n_m) = cfg
+     count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best) = cfg
     i = 0
     xs_ref = refs[i]; i += 1
     ths_ref = None
@@ -504,7 +504,8 @@ def _train_kernel(
     mu_out = refs[i:i + n_t]; i += n_t
     nu_out = refs[i:i + n_t]; i += n_t
     hist_t = refs[i]; i += 1
-    hist_v = refs[i]
+    hist_v = refs[i]; i += 1
+    bp_out = refs[i:i + n_t] if track_best else None
 
     # split per-op ref groups (trainable ops consume from the flat
     # trainable list at their offset; affine ops consume from c_flat)
@@ -573,6 +574,15 @@ def _train_kernel(
     tl, vl = _eval_nll_both(plan, t_refs, c_refs, xev, thev,
                             n_ev_t, ev_off, n_ev_v, d)
     row = jax.lax.broadcasted_iota(jnp.int32, hist_t.shape, 0)
+    if track_best:
+        # best-so-far valid NLL = masked min over the VMEM-resident
+        # history rows < e (rows ≥ e are zeros/garbage); at e == 0 the
+        # min is +inf so `better` is True and bp_out gets its first
+        # write — no separate best_vl state needed
+        prev_best = jnp.min(jnp.where(row < e, hist_v[:], jnp.inf))
+        better = vl < prev_best
+        for k in range(n_t):
+            bp_out[k][:] = jnp.where(better, p_out[k][:], bp_out[k][:])
     for ref, val in ((hist_t, tl), (hist_v, vl)):
         prev = jnp.where(e == 0, jnp.zeros(ref.shape, jnp.float32), ref[:])
         ref[:] = jnp.where(row == e, val, prev)
@@ -608,7 +618,8 @@ def train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize, d, n,
     slab = n_batches * batchsize * (max(d, lane) + (max(n, lane) if n else 0)) * 4
     evals = (padded(n_ev_t, d) + padded(n_ev_v, d)
              + (padded(n_ev_t, n) + padded(n_ev_v, n) if n else 0))
-    params = 7 * sum(param_bytes(p) for p in tparams)
+    # p/m/v in+out + masks + (track_best) best-params outputs
+    params = 8 * sum(param_bytes(p) for p in tparams)
     consts = sum(param_bytes(p) for p in cparams)
     widest = max(
         [int(p.shape[-1]) for p in tparams if p.ndim == 2] + [d])
@@ -624,12 +635,12 @@ def train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize, d, n,
     jax.jit,
     static_argnames=("plan", "tcounts", "mask_slots", "epochs", "batchsize",
                      "n_train", "n_ev_t", "ev_off", "n_ev_v", "count0",
-                     "lr", "b1", "b2", "eps", "interpret"),
+                     "lr", "b1", "b2", "eps", "interpret", "track_best"),
 )
 def _run(xs, ths, xev, thev, tparams, mu, nu, masks,
          cparams, *, plan, tcounts, mask_slots, epochs, batchsize,
          n_train, n_ev_t, ev_off, n_ev_v, count0, lr, b1, b2, eps,
-         interpret):
+         interpret, track_best=False):
     n_batches = xs.shape[1]
     d = xs.shape[-1]
     n = ths.shape[-1] if ths is not None else 0
@@ -638,7 +649,7 @@ def _run(xs, ths, xev, thev, tparams, mu, nu, masks,
     n_m = len(masks)
 
     cfg = (n, d, batchsize, n_batches, n_train, n_ev_t, ev_off, n_ev_v,
-           count0, lr, b1, b2, eps, n_t, n_c, n_m)
+           count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best)
     kernel = functools.partial(_train_kernel, plan, offsets, mask_slots, cfg)
 
     def const_spec(shape):
@@ -670,6 +681,10 @@ def _run(xs, ths, xev, thev, tparams, mu, nu, masks,
     for _ in range(2):  # train / valid histories (whole-array blocks)
         out_shape.append(jax.ShapeDtypeStruct((epochs, 1), jnp.float32))
         out_specs.append(const_spec((epochs, 1)))
+    if track_best:  # exact best-valid-epoch parameter snapshot
+        for p in tparams:
+            out_shape.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
+            out_specs.append(const_spec(p.shape))
 
     out = pl.pallas_call(
         kernel,
@@ -684,7 +699,8 @@ def _run(xs, ths, xev, thev, tparams, mu, nu, masks,
     nu_new = out[2 * n_t:3 * n_t]
     hist_t = out[3 * n_t][:, 0]
     hist_v = out[3 * n_t + 1][:, 0]
-    return p_new, mu_new, nu_new, hist_t, hist_v
+    best = out[3 * n_t + 2:3 * n_t + 2 + n_t] if track_best else None
+    return p_new, mu_new, nu_new, hist_t, hist_v, best
 
 
 def run_fused_train(
@@ -692,6 +708,7 @@ def run_fused_train(
     x, theta, x_valid, theta_valid, key,
     *, epochs, batchsize, shuffle=True, n_train=None, n_valid=None,
     count0=0, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8, interpret=None,
+    track_best=False,
 ):
     """Run the whole training loop as one kernel.
 
@@ -701,8 +718,10 @@ def run_fused_train(
     ``jax.random.permutation`` keys from ``jax.random.split(key, epochs)``,
     final partial batch padded with row 0 and masked out of the loss.
 
-    Returns (params, mu, nu, train_hist, valid_hist) with the folded
-    trainable params / Adam moments and per-epoch full-split NLLs.
+    Returns (params, mu, nu, train_hist, valid_hist, best) with the
+    folded trainable params / Adam moments and per-epoch full-split
+    NLLs; ``best`` is the folded parameter snapshot at the
+    lowest-valid-NLL epoch when ``track_best`` (else None).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -749,5 +768,5 @@ def run_fused_train(
         plan=plan, tcounts=tcounts, mask_slots=mask_slots, epochs=epochs,
         batchsize=batchsize, n_train=n, n_ev_t=n, ev_off=ev_off,
         n_ev_v=nv, count0=count0, lr=float(lr), b1=float(b1), b2=float(b2),
-        eps=float(eps), interpret=interpret,
+        eps=float(eps), interpret=interpret, track_best=track_best,
     )

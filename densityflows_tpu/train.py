@@ -332,6 +332,10 @@ def _train_with_checkpoints(
 
     from .utils.checkpoint import save_flow, load_flow
 
+    # the chunk train() calls receive the USER's optimizer (None when
+    # unspecified) so plain-surface chunks may auto-route through the
+    # fused kernel; the explicit default is only needed for load_flow
+    user_optimizer = optimizer
     if optimizer is None:
         optimizer = _default_adam()
     if key is None:
@@ -358,7 +362,7 @@ def _train_with_checkpoints(
         chunk = min(checkpoint_every, target - done)
         chunk_key = jax.random.fold_in(key, done)
         opt_state = train(
-            flow, data, optimizer, opt_state,
+            flow, data, user_optimizer, opt_state,
             epochs=chunk, batchsize=batchsize, shuffle=shuffle,
             verbose=verbose, key=chunk_key, mesh=mesh, debug=debug,
             metrics_log=metrics_log, remat=remat,
@@ -387,8 +391,10 @@ def _train_early_stopping(
     (``track_best``), so the restore is epoch-exact regardless of
     ``check_every``.
     """
-    if optimizer is None:
-        optimizer = _default_adam()
+    # optimizer stays None when the caller didn't supply one: each chunk
+    # is then a plain-surface train() call, free to auto-route through
+    # the whole-run fused kernel (which tracks best in-kernel) — train()
+    # substitutes the shared default Adam on the jnp path anyway
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
 
@@ -586,7 +592,7 @@ def train(
     if fused_kernel == "auto":
         plain_surface = not (
             mesh is not None or weights is not None or remat
-            or mixed_precision or skip_nonfinite or _track_best
+            or mixed_precision or skip_nonfinite
             or debug or checkpoint_dir is not None
             or early_stopping_patience is not None
             or optimizer is not None or metrics_log is not None)
@@ -600,14 +606,14 @@ def train(
                 return train_fused(
                     flow, data, epochs=epochs, batchsize=batchsize,
                     shuffle=shuffle, verbose=verbose, key=key,
-                    opt_state=opt_state,
+                    opt_state=opt_state, track_best=_track_best,
                 )
             except UnsupportedFusedTrain:
                 pass  # outside the envelope — the jnp program handles it
         fused_kernel = False
     if fused_kernel:
         if (mesh is not None or weights is not None or remat
-                or mixed_precision or skip_nonfinite or _track_best
+                or mixed_precision or skip_nonfinite
                 or debug or checkpoint_dir is not None
                 or metrics_log is not None
                 or early_stopping_patience is not None):
@@ -626,7 +632,7 @@ def train(
         return train_fused(
             flow, data, epochs=epochs, batchsize=batchsize,
             shuffle=shuffle, verbose=verbose, key=key,
-            opt_state=opt_state,
+            opt_state=opt_state, track_best=_track_best,
         )
     if early_stopping_patience is not None:
         if checkpoint_dir is not None:

@@ -296,3 +296,48 @@ def optax_adam_explicit():
     import optax
 
     return optax.adam(1e-3)
+
+
+def test_track_best_matches_jnp(cond_data):
+    """In-kernel best-epoch selection == the jnp program's track_best
+    (the early-stopping restore path)."""
+    from densityflows_tpu.models.fused_train import train_fused as tf
+
+    data, x = cond_data
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=16, hidden_dim_t=16),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    f_j, f_f = build(), build()
+    _, best_j = df.train(f_j, data, epochs=6, batchsize=32, verbose=False,
+                         key=jax.random.key(4), _track_best=True,
+                         fused_kernel=False)
+    _, best_f = tf(f_f, data, epochs=6, batchsize=32, verbose=False,
+                   key=jax.random.key(4), track_best=True)
+    for a, b in zip(jax.tree_util.tree_leaves(best_j),
+                    jax.tree_util.tree_leaves(best_f)):
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+def test_early_stopping_drivers_accept_none_optimizer(cond_data, tmp_path):
+    """The chunked drivers leave optimizer=None so plain-surface chunks
+    can auto-route through the fused kernel on TPU (r4)."""
+    data, x = cond_data
+    flow = df.Flow(df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        df.normalization_layer(x, -1.0, 1.0),
+    ), data)
+    df.train(flow, data, epochs=8, batchsize=32, verbose=False,
+             key=jax.random.key(1), early_stopping_patience=4,
+             early_stopping_check_every=4)
+    assert len(flow.train_loss) >= 4
+    df.train(flow, data, epochs=4, batchsize=32, verbose=False,
+             key=jax.random.key(2), checkpoint_dir=str(tmp_path),
+             checkpoint_every=2)
+    assert np.isfinite(flow.train_loss).all()
