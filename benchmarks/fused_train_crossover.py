@@ -23,8 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CONFIGS = [
     ("reference", 1000, 5, 1, 16, 3, 64, False),
     ("wide_h64", 1000, 5, 1, 64, 3, 64, False),
+    ("joint_d16_h64_b128", 1200, 16, 2, 64, 4, 128, True),
+    ("d5_h16_b512", 1000, 5, 1, 16, 3, 512, False),
+    # guard-rejected (reported, not measured): their Mosaic compiles
+    # fail with scoped-VMEM stack OOM — verified r4
     ("d16_h64_b256", 4000, 16, 2, 64, 4, 256, False),
-    ("d16_joint_b256", 4000, 16, 2, 64, 4, 256, True),
     ("big_batch_1024", 8000, 8, 2, 32, 4, 1024, False),
 ]
 
@@ -56,6 +59,28 @@ def main():
                                      df.normalization_layer(x, -1.0, 1.0)),
                        data)
         n_train = len(data.partition.training)
+        nv = len(data.partition.validation)
+
+        # the same envelope guard train() applies — measure_train_paths
+        # calls run_fused_train directly and would otherwise hit a raw
+        # Mosaic scoped-VMEM compile failure (verified r4: every config
+        # the guard rejects also fails to compile, and vice versa)
+        from densityflows_tpu.models.fused_train import (
+            UnsupportedFusedTrain,
+            _check_budget,
+            chain_train_fold,
+        )
+
+        try:
+            plan, _tc, tparams, _m, _ms, cparams, _f, _u = \
+                chain_train_fold(flow.model)
+            _check_budget(plan, tparams, cparams, n_train, nv, d, n_cond,
+                          batch, 1000)
+        except UnsupportedFusedTrain as e:
+            print(f"{name}: guard-rejected ({e}) — train() auto-routes "
+                  "this to the jnp program", flush=True)
+            continue
+
         # scale the epoch gaps so HI stays ~0.2-2 s of device work
         lo = 10
         hi = max(60, min(510, int(500 * 64000 / (n_train * hidden))))
@@ -63,7 +88,7 @@ def main():
             sps_j, sps_f, det = bench.measure_train_paths(
                 jax, df, flow, data, lo=lo, hi=lo + hi, reps=7,
                 batchsize=batch)
-        except Exception as e:  # budget rejection or timing failure
+        except Exception as e:  # timing failure
             print(f"{name}: SKIP ({type(e).__name__}: {e})", flush=True)
             continue
         results[name] = {

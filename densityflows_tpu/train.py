@@ -610,6 +610,14 @@ def train(
                 )
             except UnsupportedFusedTrain:
                 pass  # outside the envelope — the jnp program handles it
+            except jax.errors.JaxRuntimeError as e:
+                # estimator miss (e.g. a Mosaic scoped-VMEM compile OOM
+                # the budget check under-predicted): auto mode falls back
+                # rather than crashing — train_fused mutates the flow
+                # only after a successful run, so the jnp retrain starts
+                # from the original state
+                print(f"[fused-train kernel unavailable "
+                      f"({type(e).__name__}); using the jnp program]")
         fused_kernel = False
     if fused_kernel:
         if (mesh is not None or weights is not None or remat

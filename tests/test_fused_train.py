@@ -341,3 +341,27 @@ def test_early_stopping_drivers_accept_none_optimizer(cond_data, tmp_path):
              key=jax.random.key(2), checkpoint_dir=str(tmp_path),
              checkpoint_every=2)
     assert np.isfinite(flow.train_loss).all()
+
+
+def test_auto_falls_back_on_runtime_error(cond_data, monkeypatch, capsys):
+    """If the VMEM estimator under-predicts and Mosaic compilation fails,
+    auto mode warns and falls back to the jnp program instead of
+    crashing (the flow is untouched by the failed attempt)."""
+    import densityflows_tpu.models.fused_train as ft
+
+    data, x = cond_data
+    flow = df.Flow(df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        df.normalization_layer(x, -1.0, 1.0),
+    ), data)
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: scoped vmem (simulated)")
+
+    monkeypatch.setattr(ft, "train_fused", boom)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    df.train(flow, data, epochs=1, verbose=False, key=jax.random.key(1))
+    assert len(flow.train_loss) == 1  # jnp program completed the run
+    assert "jnp program" in capsys.readouterr().out
