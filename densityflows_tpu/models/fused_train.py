@@ -497,10 +497,10 @@ def chain_train_fold(chain):
 
 
 def _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize,
-                  epochs):
+                  epochs, weighted=False):
     n_batches = -(-n // batchsize)
     need = train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize,
-                            d, n_cond, n, nv)
+                            d, n_cond, n, nv, weighted=weighted)
     if need > _BUDGET:
         raise UnsupportedFusedTrain(
             f"working set ~{need / 1e6:.1f} MB exceeds the VMEM budget "
@@ -530,6 +530,7 @@ def train_fused(
     b2: float = 0.999,
     eps: float = 1e-8,
     track_best: bool = False,
+    weights=None,
 ):
     """``train()`` on the whole-run kernel (``train(fused_kernel=True)``).
 
@@ -541,7 +542,10 @@ def train_fused(
     keys); parameter trajectories agree to float accumulation order.
     ``track_best=True`` returns ``(opt_state, best_model)`` — the exact
     parameter pytree at the lowest-valid-NLL epoch, selected in-kernel
-    (the early-stopping restore path).
+    (the early-stopping restore path). ``weights`` takes per-RAW-row
+    importance weights (the SNPE-B correction, ``train(weights=…)``
+    semantics): batch losses and both full-split epoch evals become the
+    weighted NLL −Σw·lp/Σw.
     """
     import optax
 
@@ -558,8 +562,19 @@ def train_fused(
         raise UnsupportedFusedTrain("empty training/validation split")
     d = x_train.shape[-1]
     n_cond = th_train.shape[-1]
+
+    w_train = w_valid = None
+    if weights is not None:
+        wf = np.asarray(weights, np.float32).reshape(-1)
+        if wf.shape[0] != data.x.shape[0]:
+            raise ValueError(
+                f"weights must have one entry per data row "
+                f"({data.x.shape[0]}), got {wf.shape[0]}")
+        w_train = wf[np.asarray(data.partition.training)]
+        w_valid = wf[np.asarray(data.partition.validation)]
+
     _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize,
-                  epochs)
+                  epochs, weighted=weights is not None)
 
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
@@ -587,7 +602,7 @@ def train_fused(
         jnp.asarray(x_train), theta, jnp.asarray(x_valid), theta_v, key,
         epochs=epochs, batchsize=batchsize, shuffle=shuffle,
         count0=count0, lr=lr, b1=b1, b2=b2, eps=eps,
-        track_best=track_best,
+        track_best=track_best, w=w_train, w_valid=w_valid,
     )
     tls = np.asarray(tls)  # host fetch blocks on kernel completion
     vls = np.asarray(vls)

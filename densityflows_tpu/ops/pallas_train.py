@@ -460,11 +460,13 @@ def _plan_bwd(plan, caches, th, gz, jbar, offsets, n_tparams):
 # the kernel
 
 
-def _eval_nll_both(plan, t_refs, c_refs, x_ref, th_ref, n_ev_t, ev_off,
-                   n_ev_v, d):
+def _eval_nll_both(plan, t_refs, c_refs, x_ref, th_ref, wev_ref, n_ev_t,
+                   ev_off, n_ev_v, d):
     """One inverse pass over the CONCATENATED train+valid eval rows
     (train rows [0, n_ev_t), valid rows [ev_off, ev_off + n_ev_v)),
-    then two masked means — halves the per-epoch eval matmuls."""
+    then two masked means — halves the per-epoch eval matmuls. With
+    ``wev_ref`` (per-row importance weights), both means become the
+    weighted NLL −Σw·lp/Σw (train.masked_nll_loss weighted semantics)."""
     x = x_ref[:].astype(jnp.float32)
     th = th_ref[:].astype(jnp.float32) if th_ref is not None else None
     z, ldj, _ = _plan_fwd(plan, t_refs, c_refs, x, th, False)
@@ -474,8 +476,15 @@ def _eval_nll_both(plan, t_refs, c_refs, x_ref, th_ref, n_ev_t, ev_off,
     mt = (row < n_ev_t).astype(jnp.float32)
     mv = jnp.logical_and(row >= ev_off,
                          row < ev_off + n_ev_v).astype(jnp.float32)
-    tl = -jnp.sum(lp * mt) / np.float32(n_ev_t)
-    vl = -jnp.sum(lp * mv) / np.float32(n_ev_v)
+    if wev_ref is not None:
+        w = wev_ref[:].astype(jnp.float32)
+        mt = mt * w
+        mv = mv * w
+        tl = -jnp.sum(lp * mt) / jnp.maximum(jnp.sum(mt), 1e-12)
+        vl = -jnp.sum(lp * mv) / jnp.maximum(jnp.sum(mv), 1e-12)
+    else:
+        tl = -jnp.sum(lp * mt) / np.float32(n_ev_t)
+        vl = -jnp.sum(lp * mv) / np.float32(n_ev_v)
     return tl, vl
 
 
@@ -483,18 +492,25 @@ def _train_kernel(
     plan, offsets, mask_slots, cfg, *refs,
 ):
     """cfg: (n, d, batchsize, n_batches, n_train, n_ev_t, ev_off, n_ev_v,
-    count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best) — all static."""
+    count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best, weighted) —
+    all static."""
     (n, d, bs_rows, n_batches, n_train, n_ev_t, ev_off, n_ev_v,
-     count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best) = cfg
+     count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best, weighted) = cfg
     i = 0
     xs_ref = refs[i]; i += 1
     ths_ref = None
     if n:
         ths_ref = refs[i]; i += 1
+    ws_ref = None
+    if weighted:
+        ws_ref = refs[i]; i += 1
     xev = refs[i]; i += 1
     thev = None
     if n:
         thev = refs[i]; i += 1
+    wev = None
+    if weighted:
+        wev = refs[i]; i += 1
     p_in = refs[i:i + n_t]; i += n_t
     mu_in = refs[i:i + n_t]; i += n_t
     nu_in = refs[i:i + n_t]; i += n_t
@@ -541,6 +557,12 @@ def _train_kernel(
         # positional pad mask: global row p = b·bs + r valid iff p < n_train
         row = jax.lax.broadcasted_iota(jnp.int32, (bs_rows, 1), 0)
         mask = ((b * bs_rows + row) < n_train).astype(jnp.float32)
+        if ws_ref is not None:
+            # importance weights gathered with the same shuffle: the
+            # weighted batch loss is −Σ m·w·lp / Σ m·w (train.py
+            # weighted=True semantics) — _nll_and_gz normalizes by
+            # Σmask, so folding w into the mask IS the weighted loss
+            mask = mask * ws_ref[0, b].astype(jnp.float32)
 
         z, ldj, caches = _plan_fwd(plan, t_refs, c_refs, x, th, True)
         _, gz, jbar = _nll_and_gz(z, ldj, mask, d)
@@ -571,7 +593,7 @@ def _train_kernel(
     # Histories stay VMEM-resident as (epochs, 1) blocks — a (1, 1) block
     # per grid step fails the TPU (8, 128) tiling rule, so each epoch's
     # row is placed with a masked where instead.
-    tl, vl = _eval_nll_both(plan, t_refs, c_refs, xev, thev,
+    tl, vl = _eval_nll_both(plan, t_refs, c_refs, xev, thev, wev,
                             n_ev_t, ev_off, n_ev_v, d)
     row = jax.lax.broadcasted_iota(jnp.int32, hist_t.shape, 0)
     if track_best:
@@ -601,7 +623,7 @@ def _offsets(plan, tcounts):
 
 
 def train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize, d, n,
-                     n_ev_t, n_ev_v) -> int:
+                     n_ev_t, n_ev_v, weighted=False) -> int:
     """Rough resident working set: the per-epoch slab (double-buffered,
     lane-padded), eval sets, 7 tile-padded copies of the params (p/m/v
     in+out + masks), and one op's live activations at the largest row
@@ -615,9 +637,11 @@ def train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize, d, n,
     def param_bytes(p):
         return max(int(np.prod(p.shape)) * 4, tile)
 
-    slab = n_batches * batchsize * (max(d, lane) + (max(n, lane) if n else 0)) * 4
+    slab = n_batches * batchsize * (max(d, lane) + (max(n, lane) if n else 0)
+                                    + (lane if weighted else 0)) * 4
     evals = (padded(n_ev_t, d) + padded(n_ev_v, d)
-             + (padded(n_ev_t, n) + padded(n_ev_v, n) if n else 0))
+             + (padded(n_ev_t, n) + padded(n_ev_v, n) if n else 0)
+             + (padded(n_ev_t, 1) + padded(n_ev_v, 1) if weighted else 0))
     # p/m/v in+out + masks + (track_best) best-params outputs
     params = 8 * sum(param_bytes(p) for p in tparams)
     consts = sum(param_bytes(p) for p in cparams)
@@ -637,19 +661,20 @@ def train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize, d, n,
                      "n_train", "n_ev_t", "ev_off", "n_ev_v", "count0",
                      "lr", "b1", "b2", "eps", "interpret", "track_best"),
 )
-def _run(xs, ths, xev, thev, tparams, mu, nu, masks,
+def _run(xs, ths, ws, xev, thev, wev, tparams, mu, nu, masks,
          cparams, *, plan, tcounts, mask_slots, epochs, batchsize,
          n_train, n_ev_t, ev_off, n_ev_v, count0, lr, b1, b2, eps,
          interpret, track_best=False):
     n_batches = xs.shape[1]
     d = xs.shape[-1]
     n = ths.shape[-1] if ths is not None else 0
+    weighted = ws is not None
     offsets, n_t = _offsets(plan, tcounts)
     n_c = sum(3 for op in plan if op[0] == "affine")
     n_m = len(masks)
 
     cfg = (n, d, batchsize, n_batches, n_train, n_ev_t, ev_off, n_ev_v,
-           count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best)
+           count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best, weighted)
     kernel = functools.partial(_train_kernel, plan, offsets, mask_slots, cfg)
 
     def const_spec(shape):
@@ -657,15 +682,20 @@ def _run(xs, ths, xev, thev, tparams, mu, nu, masks,
         return pl.BlockSpec(shape, lambda e, _nd=nd: (0,) * _nd,
                             memory_space=pltpu.VMEM)
 
-    in_specs = [pl.BlockSpec((1,) + xs.shape[1:], lambda e: (e, 0, 0, 0),
-                             memory_space=pltpu.VMEM)]
+    def epoch_spec(a):
+        return pl.BlockSpec((1,) + a.shape[1:], lambda e: (e, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [epoch_spec(xs)]
     args = [xs]
     if n:
-        in_specs.append(pl.BlockSpec((1,) + ths.shape[1:],
-                                     lambda e: (e, 0, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(epoch_spec(ths))
         args.append(ths)
-    for a in ((xev, thev) if n else (xev,)):
+    if weighted:
+        in_specs.append(epoch_spec(ws))
+        args.append(ws)
+    ev_args = [xev] + ([thev] if n else []) + ([wev] if weighted else [])
+    for a in ev_args:
         in_specs.append(const_spec(a.shape))
         args.append(a)
     for group in (tparams, mu, nu, masks, cparams):
@@ -708,7 +738,7 @@ def run_fused_train(
     x, theta, x_valid, theta_valid, key,
     *, epochs, batchsize, shuffle=True, n_train=None, n_valid=None,
     count0=0, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8, interpret=None,
-    track_best=False,
+    track_best=False, w=None, w_valid=None,
 ):
     """Run the whole training loop as one kernel.
 
@@ -743,6 +773,10 @@ def run_fused_train(
     idx = idx.reshape(epochs, n_batches, batchsize)
     xs = jnp.asarray(x, jnp.float32)[idx]
     ths = jnp.asarray(theta, jnp.float32)[idx] if n_cond else None
+    ws = None
+    if w is not None:
+        # per-row importance weights, gathered with the SAME shuffle
+        ws = jnp.asarray(w, jnp.float32).reshape(-1, 1)[idx]
 
     def pad8(a):
         pad = (-a.shape[0]) % 8
@@ -761,9 +795,14 @@ def run_fused_train(
         thev = jnp.concatenate([
             pad8(jnp.asarray(theta, jnp.float32)),
             pad8(jnp.asarray(theta_valid, jnp.float32))], 0)
+    wev = None
+    if w is not None:
+        wev = jnp.concatenate([
+            pad8(jnp.asarray(w, jnp.float32).reshape(-1, 1)),
+            pad8(jnp.asarray(w_valid, jnp.float32).reshape(-1, 1))], 0)
 
     return _run(
-        xs, ths, xev, thev,
+        xs, ths, ws, xev, thev, wev,
         tuple(tparams), tuple(mu), tuple(nu), tuple(masks), tuple(cparams),
         plan=plan, tcounts=tcounts, mask_slots=mask_slots, epochs=epochs,
         batchsize=batchsize, n_train=n, n_ev_t=n, ev_off=ev_off,

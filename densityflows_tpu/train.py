@@ -573,9 +573,11 @@ def train(
     (models/fused_train.py) — the launch-overhead killer for small
     configs, measured 10.3× the jnp program on the reference README
     config on a v5e (55 µs vs 567 µs per epoch, round-4 probe;
-    docs/design.md §12). Supported surface: RNVP/joint/NICE couplings +
-    Normalization layers, StandardNormal base, the default Adam(1e-3),
-    no mesh/weights/remat/mixed_precision/skip_nonfinite. Same shuffle
+    docs/design.md §12). Supported surface: RNVP/joint/NICE couplings
+    (incl. ``max_log_scale`` clamps) + Normalization layers,
+    StandardNormal base, the default Adam(1e-3), ``weights=`` and
+    best-epoch tracking; no mesh/remat/mixed_precision/skip_nonfinite
+    /metrics_log. Same shuffle
     keys and batch composition as the jnp program (losses match to
     float accumulation order); the returned opt_state is
     optax-compatible so either path continues the other.
@@ -591,7 +593,7 @@ def train(
     """
     if fused_kernel == "auto":
         plain_surface = not (
-            mesh is not None or weights is not None or remat
+            mesh is not None or remat
             or mixed_precision or skip_nonfinite
             or debug or checkpoint_dir is not None
             or early_stopping_patience is not None
@@ -607,6 +609,7 @@ def train(
                     flow, data, epochs=epochs, batchsize=batchsize,
                     shuffle=shuffle, verbose=verbose, key=key,
                     opt_state=opt_state, track_best=_track_best,
+                    weights=weights,
                 )
             except UnsupportedFusedTrain:
                 pass  # outside the envelope — the jnp program handles it
@@ -620,14 +623,14 @@ def train(
                       f"({type(e).__name__}); using the jnp program]")
         fused_kernel = False
     if fused_kernel:
-        if (mesh is not None or weights is not None or remat
+        if (mesh is not None or remat
                 or mixed_precision or skip_nonfinite
                 or debug or checkpoint_dir is not None
                 or metrics_log is not None
                 or early_stopping_patience is not None):
             raise ValueError(
                 "fused_kernel=True supports the plain training surface "
-                "only (no mesh/weights/remat/mixed_precision/"
+                "only (no mesh/remat/mixed_precision/"
                 "skip_nonfinite/debug/checkpointing/metrics_log/early "
                 "stopping) — drop fused_kernel to use the jnp program")
         if optimizer is not None:
@@ -641,6 +644,7 @@ def train(
             flow, data, epochs=epochs, batchsize=batchsize,
             shuffle=shuffle, verbose=verbose, key=key,
             opt_state=opt_state, track_best=_track_best,
+            weights=weights,
         )
     if early_stopping_patience is not None:
         if checkpoint_dir is not None:

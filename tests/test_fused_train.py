@@ -194,9 +194,9 @@ def test_unsupported_raises(cond_data):
     with pytest.raises(ValueError, match="plain training surface"):
         df.train(flow, data, epochs=1, verbose=False, fused_kernel=True,
                  mixed_precision=True)
-    with pytest.raises(ValueError, match="plain training surface"):
+    with pytest.raises(ValueError, match="one entry per data row"):
         df.train(flow, data, epochs=1, verbose=False, fused_kernel=True,
-                 weights=np.ones(data.x.shape[0]))
+                 weights=np.ones(3))
 
     # unsupported layer types fall out of the fold
     spline_like = df.Flow(df.flow_chain(
@@ -365,3 +365,40 @@ def test_auto_falls_back_on_runtime_error(cond_data, monkeypatch, capsys):
     df.train(flow, data, epochs=1, verbose=False, key=jax.random.key(1))
     assert len(flow.train_loss) == 1  # jnp program completed the run
     assert "jnp program" in capsys.readouterr().out
+
+
+def test_weighted_parity(cond_data):
+    """Importance-weighted training (the SNPE-B correction) in the
+    kernel == train(weights=...) jnp program: batch losses AND both
+    full-split epoch evals use the weighted NLL."""
+    data, x = cond_data
+    rng = np.random.default_rng(7)
+    w = rng.uniform(0.2, 3.0, size=data.x.shape[0]).astype(np.float32)
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=16, hidden_dim_t=16),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    f_j, f_f = build(), build()
+    df.train(f_j, data, epochs=4, batchsize=32, verbose=False,
+             key=jax.random.key(3), weights=w, fused_kernel=False)
+    df.train(f_f, data, epochs=4, batchsize=32, verbose=False,
+             key=jax.random.key(3), weights=w, fused_kernel=True)
+    np.testing.assert_allclose(f_j.train_loss, f_f.train_loss, atol=ATOL)
+    np.testing.assert_allclose(f_j.valid_loss, f_f.valid_loss, atol=ATOL)
+    for a, b in zip(jax.tree_util.tree_leaves(f_j.model),
+                    jax.tree_util.tree_leaves(f_f.model)):
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=ATOL)
+
+    # uniform weights reproduce the unweighted kernel run exactly
+    f_u, f_1 = build(), build()
+    df.train(f_u, data, epochs=3, batchsize=32, verbose=False,
+             key=jax.random.key(5), fused_kernel=True)
+    df.train(f_1, data, epochs=3, batchsize=32, verbose=False,
+             key=jax.random.key(5), fused_kernel=True,
+             weights=np.ones(data.x.shape[0], np.float32))
+    np.testing.assert_allclose(f_u.train_loss, f_1.train_loss, atol=1e-6)
