@@ -64,7 +64,7 @@ from .ops.coupling import (
     rnvp_forward,
 )
 from .ops.mlp import MLP, apply_mlp, init_mlp
-from .train import train, evaluate, make_train_step
+from .train import train, evaluate, make_train_step, Adam, adam
 from .models.fused_train import UnsupportedFusedTrain, train_fused
 from .data_stream import StreamingLoader, train_streaming
 from .ensemble import EnsembleFlow, train_ensemble, stack_models
@@ -130,7 +130,7 @@ __all__ = [
     "LogitLayer", "logit_layer",
     "Flow", "nll_loss",
     # training
-    "train", "evaluate", "make_train_step",
+    "train", "evaluate", "make_train_step", "Adam", "adam",
     "StreamingLoader", "train_streaming",
     "EnsembleFlow", "train_ensemble", "stack_models",
     # inference engine

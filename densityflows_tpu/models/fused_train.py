@@ -531,6 +531,7 @@ def train_fused(
     eps: float = 1e-8,
     track_best: bool = False,
     weights=None,
+    skip_nonfinite: bool = False,
 ):
     """``train()`` on the whole-run kernel (``train(fused_kernel=True)``).
 
@@ -545,7 +546,11 @@ def train_fused(
     (the early-stopping restore path). ``weights`` takes per-RAW-row
     importance weights (the SNPE-B correction, ``train(weights=…)``
     semantics): batch losses and both full-split epoch evals become the
-    weighted NLL −Σw·lp/Σw.
+    weighted NLL −Σw·lp/Σw. ``skip_nonfinite=True`` applies each batch
+    update only when the loss and all (masked) gradients are finite —
+    skipped steps leave params/Adam state untouched, do not advance the
+    Adam step count, and are counted per epoch into
+    ``flow.skipped_updates`` (``train(skip_nonfinite=…)`` semantics).
     """
     import optax
 
@@ -597,12 +602,13 @@ def train_fused(
     t0 = _time.perf_counter()
     theta = jnp.asarray(th_train) if n_cond else None
     theta_v = jnp.asarray(th_valid) if n_cond else None
-    p_new, mu_new, nu_new, tls, vls, best = run_fused_train(
+    p_new, mu_new, nu_new, tls, vls, best, skips = run_fused_train(
         plan, tcounts, tparams, masks, mask_slots, cparams, mu, nu,
         jnp.asarray(x_train), theta, jnp.asarray(x_valid), theta_v, key,
         epochs=epochs, batchsize=batchsize, shuffle=shuffle,
         count0=count0, lr=lr, b1=b1, b2=b2, eps=eps,
         track_best=track_best, w=w_train, w_valid=w_valid,
+        guard_nonfinite=skip_nonfinite,
     )
     tls = np.asarray(tls)  # host fetch blocks on kernel completion
     vls = np.asarray(vls)
@@ -611,6 +617,11 @@ def train_fused(
     flow.model = unfold(list(p_new))
     flow.train_loss.extend(float(v) for v in tls)
     flow.valid_loss.extend(float(v) for v in vls)
+    n_skipped = 0
+    if skip_nonfinite:
+        skips = np.asarray(skips)
+        n_skipped = int(skips.sum())
+        flow.skipped_updates.extend(int(v) for v in skips)
 
     n_batches = -(-n // batchsize)
     ref_state = optax.adam(lr, b1=b1, b2=b2, eps=eps).init(flow.model)
@@ -620,12 +631,16 @@ def train_fused(
         return jax.tree_util.tree_map(jnp.zeros_like, flow.model)
 
     new0 = ref_state[0]._replace(
-        count=jnp.int32(count0 + epochs * n_batches),
+        # skipped steps keep the old opt_state in train.py, so the Adam
+        # count only advances on applied updates
+        count=jnp.int32(count0 + epochs * n_batches - n_skipped),
         mu=unfold(list(mu_new), zero_tpl()),
         nu=unfold(list(nu_new), zero_tpl()),
     )
     out_state = (new0,) + tuple(ref_state[1:])
 
+    if verbose and n_skipped:
+        print(f"[skipped {n_skipped} non-finite updates]")
     if verbose:
         for e_i, (tl, vl) in enumerate(zip(tls, vls)):
             print(

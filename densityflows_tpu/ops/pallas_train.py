@@ -492,10 +492,11 @@ def _train_kernel(
     plan, offsets, mask_slots, cfg, *refs,
 ):
     """cfg: (n, d, batchsize, n_batches, n_train, n_ev_t, ev_off, n_ev_v,
-    count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best, weighted) —
+    count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best, weighted, guard) —
     all static."""
     (n, d, bs_rows, n_batches, n_train, n_ev_t, ev_off, n_ev_v,
-     count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best, weighted) = cfg
+     count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best, weighted,
+     guard) = cfg
     i = 0
     xs_ref = refs[i]; i += 1
     ths_ref = None
@@ -521,7 +522,10 @@ def _train_kernel(
     nu_out = refs[i:i + n_t]; i += n_t
     hist_t = refs[i]; i += 1
     hist_v = refs[i]; i += 1
-    bp_out = refs[i:i + n_t] if track_best else None
+    bp_out = None
+    if track_best:
+        bp_out = refs[i:i + n_t]; i += n_t
+    hist_s = refs[i] if guard else None
 
     # split per-op ref groups (trainable ops consume from the flat
     # trainable list at their offset; affine ops consume from c_flat)
@@ -547,7 +551,16 @@ def _train_kernel(
             mu_out[k][:] = mu_in[k][:]
             nu_out[k][:] = nu_in[k][:]
 
-    def batch_body(b, _):
+    # with the non-finite guard, optax's count only advances on APPLIED
+    # updates (train.py keeps the old opt_state on a skip) — the number
+    # applied in epochs < e is recovered from the VMEM-resident skip
+    # history, so no extra carried state is needed across grid steps
+    if guard:
+        row_h = jax.lax.broadcasted_iota(jnp.int32, hist_t.shape, 0)
+        prev_skips = jnp.sum(jnp.where(row_h < e, hist_s[:], 0.0))
+        applied0 = e * n_batches - prev_skips.astype(jnp.int32)
+
+    def batch_body(b, carry):
         # dynamic REF index on the untiled leading dims (a value-level
         # dynamic_slice does not lower inside the fori body)
         x = xs_ref[0, b].astype(jnp.float32)  # (bs, d)
@@ -565,29 +578,58 @@ def _train_kernel(
             mask = mask * ws_ref[0, b].astype(jnp.float32)
 
         z, ldj, caches = _plan_fwd(plan, t_refs, c_refs, x, th, True)
-        _, gz, jbar = _nll_and_gz(z, ldj, mask, d)
+        loss, gz, jbar = _nll_and_gz(z, ldj, mask, d)
         # padded rows: mask is already inside gz/jbar, so their gradient
         # contribution is exactly zero (train.py gathers row 0 for them)
         grads = _plan_bwd(plan, caches, th, gz, jbar, offsets, n_t)
 
+        # masked grads == the unfolded jnp gradient leaves scattered, so
+        # checking them after masking matches train._all_finite exactly
+        # (off-support folded entries never enter the jnp pytree)
+        if guard:
+            ok_f = jnp.where(jnp.isfinite(loss), 1.0, 0.0)
+        for k in range(n_t):
+            slot = mask_slots[k]
+            if slot is not None:
+                grads[k] = grads[k] * mask_refs[slot][:]
+            if guard:
+                ok_f = jnp.minimum(
+                    ok_f,
+                    jnp.min(jnp.where(jnp.isfinite(grads[k]), 1.0, 0.0)))
+
         # optax.adam: m,v moments + bias correction + scale(-lr)
-        t = (count0 + e * n_batches + b + 1).astype(jnp.float32)
+        if guard:
+            skips, applied = carry
+            ok = ok_f > 0.5
+            t = (applied + 1).astype(jnp.float32)
+        else:
+            t = (count0 + e * n_batches + b + 1).astype(jnp.float32)
         bc1 = 1.0 - jnp.exp(t * np.float32(np.log(b1)))
         bc2 = 1.0 - jnp.exp(t * np.float32(np.log(b2)))
         for k in range(n_t):
             g = grads[k]
-            slot = mask_slots[k]
-            if slot is not None:
-                g = g * mask_refs[slot][:]
             m = b1 * mu_out[k][:] + (1.0 - b1) * g
             v = b2 * nu_out[k][:] + (1.0 - b2) * g * g
+            p_new = p_out[k][:] - lr * (m / bc1) / (
+                jnp.sqrt(v / bc2) + eps)
+            if guard:
+                # non-finite step: params/moments stay untouched
+                m = jnp.where(ok, m, mu_out[k][:])
+                v = jnp.where(ok, v, nu_out[k][:])
+                p_new = jnp.where(ok, p_new, p_out[k][:])
             mu_out[k][:] = m
             nu_out[k][:] = v
-            p_out[k][:] = p_out[k][:] - lr * (m / bc1) / (
-                jnp.sqrt(v / bc2) + eps)
+            p_out[k][:] = p_new
+        if guard:
+            return (skips + 1 - ok.astype(jnp.int32),
+                    applied + ok.astype(jnp.int32))
         return 0
 
-    jax.lax.fori_loop(0, n_batches, batch_body, 0)
+    if guard:
+        epoch_skips, _ = jax.lax.fori_loop(
+            0, n_batches, batch_body, (jnp.int32(0), count0 + applied0))
+    else:
+        jax.lax.fori_loop(0, n_batches, batch_body, 0)
 
     # per-epoch full-split evals (reference bookkeeping, Flows.jl:419-437).
     # Histories stay VMEM-resident as (epochs, 1) blocks — a (1, 1) block
@@ -605,7 +647,12 @@ def _train_kernel(
         better = vl < prev_best
         for k in range(n_t):
             bp_out[k][:] = jnp.where(better, p_out[k][:], bp_out[k][:])
-    for ref, val in ((hist_t, tl), (hist_v, vl)):
+    rows = [(hist_t, tl), (hist_v, vl)]
+    if guard:
+        # f32 like the NLL histories (exact for any real skip count);
+        # epochs < e read it back to recover the applied-update count
+        rows.append((hist_s, epoch_skips.astype(jnp.float32)))
+    for ref, val in rows:
         prev = jnp.where(e == 0, jnp.zeros(ref.shape, jnp.float32), ref[:])
         ref[:] = jnp.where(row == e, val, prev)
 
@@ -659,12 +706,13 @@ def train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize, d, n,
     jax.jit,
     static_argnames=("plan", "tcounts", "mask_slots", "epochs", "batchsize",
                      "n_train", "n_ev_t", "ev_off", "n_ev_v", "count0",
-                     "lr", "b1", "b2", "eps", "interpret", "track_best"),
+                     "lr", "b1", "b2", "eps", "interpret", "track_best",
+                     "guard"),
 )
 def _run(xs, ths, ws, xev, thev, wev, tparams, mu, nu, masks,
          cparams, *, plan, tcounts, mask_slots, epochs, batchsize,
          n_train, n_ev_t, ev_off, n_ev_v, count0, lr, b1, b2, eps,
-         interpret, track_best=False):
+         interpret, track_best=False, guard=False):
     n_batches = xs.shape[1]
     d = xs.shape[-1]
     n = ths.shape[-1] if ths is not None else 0
@@ -674,7 +722,8 @@ def _run(xs, ths, ws, xev, thev, wev, tparams, mu, nu, masks,
     n_m = len(masks)
 
     cfg = (n, d, batchsize, n_batches, n_train, n_ev_t, ev_off, n_ev_v,
-           count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best, weighted)
+           count0, lr, b1, b2, eps, n_t, n_c, n_m, track_best, weighted,
+           guard)
     kernel = functools.partial(_train_kernel, plan, offsets, mask_slots, cfg)
 
     def const_spec(shape):
@@ -715,6 +764,9 @@ def _run(xs, ths, ws, xev, thev, wev, tparams, mu, nu, masks,
         for p in tparams:
             out_shape.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
             out_specs.append(const_spec(p.shape))
+    if guard:  # per-epoch skipped-update counts (f32 rows like the NLLs)
+        out_shape.append(jax.ShapeDtypeStruct((epochs, 1), jnp.float32))
+        out_specs.append(const_spec((epochs, 1)))
 
     out = pl.pallas_call(
         kernel,
@@ -730,7 +782,8 @@ def _run(xs, ths, ws, xev, thev, wev, tparams, mu, nu, masks,
     hist_t = out[3 * n_t][:, 0]
     hist_v = out[3 * n_t + 1][:, 0]
     best = out[3 * n_t + 2:3 * n_t + 2 + n_t] if track_best else None
-    return p_new, mu_new, nu_new, hist_t, hist_v, best
+    skips = out[-1][:, 0] if guard else None
+    return p_new, mu_new, nu_new, hist_t, hist_v, best, skips
 
 
 def run_fused_train(
@@ -738,7 +791,7 @@ def run_fused_train(
     x, theta, x_valid, theta_valid, key,
     *, epochs, batchsize, shuffle=True, n_train=None, n_valid=None,
     count0=0, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8, interpret=None,
-    track_best=False, w=None, w_valid=None,
+    track_best=False, w=None, w_valid=None, guard_nonfinite=False,
 ):
     """Run the whole training loop as one kernel.
 
@@ -748,10 +801,14 @@ def run_fused_train(
     ``jax.random.permutation`` keys from ``jax.random.split(key, epochs)``,
     final partial batch padded with row 0 and masked out of the loss.
 
-    Returns (params, mu, nu, train_hist, valid_hist, best) with the
-    folded trainable params / Adam moments and per-epoch full-split
+    Returns (params, mu, nu, train_hist, valid_hist, best, skips) with
+    the folded trainable params / Adam moments and per-epoch full-split
     NLLs; ``best`` is the folded parameter snapshot at the
-    lowest-valid-NLL epoch when ``track_best`` (else None).
+    lowest-valid-NLL epoch when ``track_best`` (else None); ``skips``
+    the per-epoch non-finite-update counts when ``guard_nonfinite``
+    (else None) — guarded steps leave params/moments untouched and do
+    not advance the Adam step count (``train.py`` ``skip_nonfinite``
+    semantics).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -808,4 +865,5 @@ def run_fused_train(
         batchsize=batchsize, n_train=n, n_ev_t=n, ev_off=ev_off,
         n_ev_v=nv, count0=count0, lr=float(lr), b1=float(b1), b2=float(b2),
         eps=float(eps), interpret=interpret, track_best=track_best,
+        guard=guard_nonfinite,
     )

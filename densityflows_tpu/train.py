@@ -43,8 +43,61 @@ from .models.flow import Flow
 
 __all__ = [
     "train", "evaluate", "make_train_step", "make_train_program",
-    "batch_iterator",
+    "batch_iterator", "Adam", "adam",
 ]
+
+
+class Adam:
+    """``optax.adam`` with INTROSPECTABLE hyperparameters.
+
+    ``optax.adam`` hides lr/b1/b2/eps inside its update closure, so
+    ``train()`` cannot tell a custom-LR Adam from an arbitrary optimizer
+    and must route it through the jnp program. This drop-in (the same
+    ``init``/``update`` GradientTransformation duck type, backed by a
+    real ``optax.adam``) carries its hyperparameters, so
+    ``train(flow, data, df.adam(3e-4))`` stays on the whole-run fused
+    kernel (models/fused_train.py) — Adam is the one optimizer family
+    the kernel implements, bias-corrected exactly as optax's.
+    """
+
+    def __init__(self, learning_rate: float = 1e-3, b1: float = 0.9,
+                 b2: float = 0.999, eps: float = 1e-8):
+        self.learning_rate = float(learning_rate)
+        self.b1 = float(b1)
+        self.b2 = float(b2)
+        self.eps = float(eps)
+        self._tx = optax.adam(self.learning_rate, b1=self.b1, b2=self.b2,
+                              eps=self.eps)
+
+    def init(self, params):
+        return self._tx.init(params)
+
+    def update(self, updates, state, params=None):
+        return self._tx.update(updates, state, params)
+
+    def __repr__(self):
+        return (f"adam(learning_rate={self.learning_rate}, b1={self.b1}, "
+                f"b2={self.b2}, eps={self.eps})")
+
+
+def adam(learning_rate: float = 1e-3, b1: float = 0.9, b2: float = 0.999,
+         eps: float = 1e-8) -> Adam:
+    """Kernel-routable Adam (see :class:`Adam`)."""
+    return Adam(learning_rate, b1=b1, b2=b2, eps=eps)
+
+
+def _write_metrics(metrics_log, flow, epochs):
+    """Append the last ``epochs`` history entries to the JSONL metrics
+    log (shared by the jnp and fused-kernel paths — the kernel returns
+    the same per-epoch full-split NLLs)."""
+    from .utils.logging import MetricsLogger
+
+    logger = MetricsLogger(metrics_log)
+    epoch0 = len(flow.train_loss) - epochs
+    for e, (tl, vl) in enumerate(zip(flow.train_loss[-epochs:],
+                                     flow.valid_loss[-epochs:])):
+        logger.write(epoch=epoch0 + e + 1, train_nll=float(tl),
+                     valid_nll=float(vl))
 
 
 def masked_nll_loss(model, base, x, theta, mask, *, remat: bool = False,
@@ -575,9 +628,10 @@ def train(
     config on a v5e (55 µs vs 567 µs per epoch, round-4 probe;
     docs/design.md §12). Supported surface: RNVP/joint/NICE couplings
     (incl. ``max_log_scale`` clamps) + Normalization layers,
-    StandardNormal base, the default Adam(1e-3), ``weights=`` and
-    best-epoch tracking; no mesh/remat/mixed_precision/skip_nonfinite
-    /metrics_log. Same shuffle
+    StandardNormal base, Adam (the default Adam(1e-3) or a tagged
+    ``df.adam(lr, b1, b2, eps)``), ``weights=``, ``skip_nonfinite``,
+    ``metrics_log``, and best-epoch tracking; no
+    mesh/remat/mixed_precision. Same shuffle
     keys and batch composition as the jnp program (losses match to
     float accumulation order); the returned opt_state is
     optax-compatible so either path continues the other.
@@ -591,13 +645,33 @@ def train(
       ``UnsupportedFusedTrain`` outside the supported surface.
     - ``False``: always the jnp program.
     """
+    # Adam hyperparams the kernel can honor: None → the shared default
+    # Adam(1e-3); a tagged df.adam(...) → its lr/b1/b2/eps
+    _kernel_hp = {}
+    if isinstance(optimizer, Adam):
+        _kernel_hp = dict(lr=optimizer.learning_rate, b1=optimizer.b1,
+                          b2=optimizer.b2, eps=optimizer.eps)
+
+    def _fused_call(train_fused):
+        out = train_fused(
+            flow, data, epochs=epochs, batchsize=batchsize,
+            shuffle=shuffle, verbose=verbose, key=key,
+            opt_state=opt_state, track_best=_track_best,
+            weights=weights, skip_nonfinite=skip_nonfinite,
+            **_kernel_hp,
+        )
+        if metrics_log is not None:
+            _write_metrics(metrics_log, flow, epochs)
+        return out
+
     if fused_kernel == "auto":
         plain_surface = not (
             mesh is not None or remat
-            or mixed_precision or skip_nonfinite
+            or mixed_precision
             or debug or checkpoint_dir is not None
             or early_stopping_patience is not None
-            or optimizer is not None or metrics_log is not None)
+            or (optimizer is not None
+                and not isinstance(optimizer, Adam)))
         if plain_surface and jax.default_backend() == "tpu":
             from .models.fused_train import (
                 UnsupportedFusedTrain,
@@ -605,12 +679,7 @@ def train(
             )
 
             try:
-                return train_fused(
-                    flow, data, epochs=epochs, batchsize=batchsize,
-                    shuffle=shuffle, verbose=verbose, key=key,
-                    opt_state=opt_state, track_best=_track_best,
-                    weights=weights,
-                )
+                return _fused_call(train_fused)
             except UnsupportedFusedTrain:
                 pass  # outside the envelope — the jnp program handles it
             except jax.errors.JaxRuntimeError as e:
@@ -624,28 +693,22 @@ def train(
         fused_kernel = False
     if fused_kernel:
         if (mesh is not None or remat
-                or mixed_precision or skip_nonfinite
+                or mixed_precision
                 or debug or checkpoint_dir is not None
-                or metrics_log is not None
                 or early_stopping_patience is not None):
             raise ValueError(
                 "fused_kernel=True supports the plain training surface "
-                "only (no mesh/remat/mixed_precision/"
-                "skip_nonfinite/debug/checkpointing/metrics_log/early "
-                "stopping) — drop fused_kernel to use the jnp program")
-        if optimizer is not None:
+                "only (no mesh/remat/mixed_precision/debug/checkpointing"
+                "/early stopping) — drop fused_kernel to use the jnp "
+                "program")
+        if optimizer is not None and not isinstance(optimizer, Adam):
             raise ValueError(
                 "fused_kernel=True uses the built-in Adam update; pass "
-                "hyperparameters via models.fused_train.train_fused "
-                "(lr/b1/b2/eps) instead of an optax optimizer")
+                "a df.adam(lr, b1, b2, eps) (its hyperparameters are "
+                "introspectable) instead of an opaque optax optimizer")
         from .models.fused_train import train_fused
 
-        return train_fused(
-            flow, data, epochs=epochs, batchsize=batchsize,
-            shuffle=shuffle, verbose=verbose, key=key,
-            opt_state=opt_state, track_best=_track_best,
-            weights=weights,
-        )
+        return _fused_call(train_fused)
     if early_stopping_patience is not None:
         if checkpoint_dir is not None:
             raise ValueError(
@@ -798,13 +861,7 @@ def train(
             print(f"[skipped {int(skips.sum())} non-finite updates]")
 
     if metrics_log is not None:
-        from .utils.logging import MetricsLogger
-
-        logger = MetricsLogger(metrics_log)
-        epoch0 = len(flow.train_loss) - epochs
-        for e, (tl, vl) in enumerate(zip(tls, vls)):
-            logger.write(epoch=epoch0 + e + 1, train_nll=float(tl),
-                         valid_nll=float(vl))
+        _write_metrics(metrics_log, flow, epochs)
 
     if debug and (not np.all(np.isfinite(tls)) or not np.all(np.isfinite(vls))):
         raise FloatingPointError(

@@ -402,3 +402,161 @@ def test_weighted_parity(cond_data):
              key=jax.random.key(5), fused_kernel=True,
              weights=np.ones(data.x.shape[0], np.float32))
     np.testing.assert_allclose(f_u.train_loss, f_1.train_loss, atol=1e-6)
+
+
+def test_skip_nonfinite_parity():
+    """In-kernel non-finite guard == train(skip_nonfinite=True): NaN rows
+    poison exactly the batches that gather them; both paths must skip
+    the same updates, keep identical finite params, and advance the
+    Adam count only on applied steps."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(120, 4)).astype(np.float32)
+    x[[5, 40, 77], 1] = np.nan
+    data = df.DataArrays.make(x, rng=0)
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.coupling_layer(data, [2, 3], key=jax.random.key(1),
+                              hidden_dim_s=8, hidden_dim_t=8),
+        ), data)
+
+    f_j, f_f = build(), build()
+    os_j = df.train(f_j, data, epochs=4, batchsize=16, verbose=False,
+                    key=jax.random.key(3), skip_nonfinite=True,
+                    fused_kernel=False)
+    os_f = df.train(f_f, data, epochs=4, batchsize=16, verbose=False,
+                    key=jax.random.key(3), skip_nonfinite=True,
+                    fused_kernel=True)
+    assert f_j.skipped_updates == f_f.skipped_updates
+    assert sum(f_f.skipped_updates) > 0
+    assert int(os_j[0].count) == int(os_f[0].count)
+    n_batches = -(-len(data.partition.training) // 16)
+    assert int(os_f[0].count) == 4 * n_batches - sum(f_f.skipped_updates)
+    for a, b in zip(jax.tree_util.tree_leaves(f_j.model),
+                    jax.tree_util.tree_leaves(f_f.model)):
+        if a.size:
+            assert np.all(np.isfinite(np.asarray(a)))
+            np.testing.assert_allclose(a, b, atol=ATOL)
+    # full-split evals include the NaN rows → NaN histories, identically
+    np.testing.assert_allclose(f_j.train_loss, f_f.train_loss, atol=ATOL)
+
+
+def test_skip_nonfinite_noop_on_healthy_kernel_run(cond_data):
+    """A healthy guarded kernel run counts zero skips and reproduces the
+    unguarded kernel run exactly."""
+    data, x = cond_data
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=16, hidden_dim_t=16),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    f_g, f_u = build(), build()
+    df.train(f_g, data, epochs=3, batchsize=32, verbose=False,
+             key=jax.random.key(4), skip_nonfinite=True, fused_kernel=True)
+    df.train(f_u, data, epochs=3, batchsize=32, verbose=False,
+             key=jax.random.key(4), fused_kernel=True)
+    assert f_g.skipped_updates == [0, 0, 0]
+    np.testing.assert_allclose(f_g.train_loss, f_u.train_loss, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(f_g.model),
+                    jax.tree_util.tree_leaves(f_u.model)):
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_metrics_log_on_fused_path(cond_data, tmp_path):
+    """metrics_log is host-side bookkeeping of the returned histories —
+    it must not force the jnp program (r4 surface growth)."""
+    import json
+
+    data, x = cond_data
+    flow = df.Flow(df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        df.normalization_layer(x, -1.0, 1.0),
+    ), data)
+    p = tmp_path / "metrics.jsonl"
+    df.train(flow, data, epochs=3, batchsize=32, verbose=False,
+             key=jax.random.key(1), fused_kernel=True, metrics_log=str(p))
+    lines = [json.loads(line) for line in open(p)]
+    assert len(lines) == 3
+    assert lines[-1]["epoch"] == 3
+    np.testing.assert_allclose([ln["valid_nll"] for ln in lines],
+                               flow.valid_loss, atol=1e-6)
+
+
+def test_tagged_adam_kernel_parity(cond_data):
+    """df.adam(lr, b1, b2, eps) carries introspectable hyperparameters:
+    the kernel honors them and matches optax.adam on the jnp program."""
+    import optax
+
+    data, x = cond_data
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=16, hidden_dim_t=16),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    f_j, f_f = build(), build()
+    df.train(f_j, data, optax.adam(3e-3, b1=0.85), epochs=4, batchsize=32,
+             verbose=False, key=jax.random.key(3), fused_kernel=False)
+    df.train(f_f, data, df.adam(3e-3, b1=0.85), epochs=4, batchsize=32,
+             verbose=False, key=jax.random.key(3), fused_kernel=True)
+    np.testing.assert_allclose(f_j.train_loss, f_f.train_loss, atol=ATOL)
+    np.testing.assert_allclose(f_j.valid_loss, f_f.valid_loss, atol=ATOL)
+    for a, b in zip(jax.tree_util.tree_leaves(f_j.model),
+                    jax.tree_util.tree_leaves(f_f.model)):
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=ATOL)
+
+    # the tagged Adam also works on the jnp program (duck-typed optax)
+    f_d = build()
+    df.train(f_d, data, df.adam(3e-3, b1=0.85), epochs=4, batchsize=32,
+             verbose=False, key=jax.random.key(3), fused_kernel=False)
+    np.testing.assert_allclose(f_d.train_loss, f_j.train_loss, atol=1e-6)
+
+
+def test_tagged_adam_auto_routes(cond_data, monkeypatch):
+    """auto mode attempts the kernel for df.adam(...) but not for an
+    opaque optax optimizer; skip_nonfinite/metrics_log no longer force
+    the jnp program."""
+    import densityflows_tpu.models.fused_train as ft
+
+    data, x = cond_data
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    calls = []
+
+    def fake_train_fused(*a, **k):
+        calls.append(k)
+        raise ft.UnsupportedFusedTrain("probe: force jnp fallback")
+
+    monkeypatch.setattr(ft, "train_fused", fake_train_fused)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    flow = build()
+    df.train(flow, data, df.adam(2e-3), epochs=1, verbose=False,
+             key=jax.random.key(1))
+    assert len(calls) == 1 and calls[-1]["lr"] == 2e-3
+
+    df.train(flow, data, epochs=1, verbose=False, key=jax.random.key(1),
+             skip_nonfinite=True)
+    assert len(calls) == 2 and calls[-1]["skip_nonfinite"] is True
+
+    import optax
+
+    df.train(flow, data, optax.adam(2e-3), epochs=1, verbose=False,
+             key=jax.random.key(1))
+    assert len(calls) == 2  # opaque optimizer: kernel not attempted
