@@ -247,8 +247,44 @@ def fused_train_parity_gate(jax, df, data, build_flow, epochs=50):
             f"fused-train kernel diverged from the jnp program on "
             f"hardware: max history err {err}, finite={finite} "
             f"(final jnp={f_j.train_loss[-1]}, fused={f_f.train_loss[-1]})")
+    # in-kernel non-finite guard (r4 surface growth): NaN-poisoned rows
+    # must skip the SAME batch updates as the jnp program — guard math
+    # is value-based and could break only in Mosaic lowering, so it too
+    # is gated on hardware every run
+    rng = np.random.default_rng(11)
+    xg = rng.normal(size=(120, 4)).astype(np.float32)
+    xg[[5, 40, 77], 1] = np.nan
+    dg = df.DataArrays.make(xg, rng=0)
+
+    def build_guard():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(dg, [0, 1], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.coupling_layer(dg, [2, 3], key=jax.random.key(1),
+                              hidden_dim_s=8, hidden_dim_t=8),
+        ), dg)
+
+    g_j, g_f = build_guard(), build_guard()
+    df.train(g_j, dg, epochs=6, batchsize=16, verbose=False,
+             key=jax.random.key(3), skip_nonfinite=True,
+             fused_kernel=False)
+    df.train(g_f, dg, epochs=6, batchsize=16, verbose=False,
+             key=jax.random.key(3), skip_nonfinite=True,
+             fused_kernel=True)
+    leaves = zip(jax.tree_util.tree_leaves(g_j.model),
+                 jax.tree_util.tree_leaves(g_f.model))
+    guard_err = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                    for a, b in leaves if a.size)
+    if (g_j.skipped_updates != g_f.skipped_updates
+            or sum(g_f.skipped_updates) == 0 or guard_err > 1e-3):
+        raise RuntimeError(
+            f"in-kernel non-finite guard diverged from the jnp program "
+            f"on hardware: skips jnp={g_j.skipped_updates} "
+            f"fused={g_f.skipped_updates}, param err {guard_err}")
+
     return {
         "fused_train_parity_max_err": round(float(err), 6),
+        "fused_guard_parity_max_err": round(guard_err, 6),
         "final_nll_jnp": float(f_j.train_loss[-1]),
         "final_nll_fused": float(f_f.train_loss[-1]),
     }
@@ -570,6 +606,8 @@ def main():
                 "ref_fused_train_samples_per_sec": round(sps_fused, 1),
                 "fused_train_parity_max_err":
                     par["fused_train_parity_max_err"],
+                "fused_guard_parity_max_err":
+                    par["fused_guard_parity_max_err"],
                 "headline_path": "fused whole-run train kernel "
                                  "(auto-routed; ops/pallas_train.py)",
                 "sample_draws_per_sec": round(sample_dps, 1),
