@@ -22,8 +22,11 @@ Entry points:
 Supported: FlowChain of RNVP / joint-RNVP / NICE couplings
 (activations relu/tanh/sigmoid/identity; ``max_log_scale`` tanh clamps
 included since r4 — the clamp derivative is value-based) +
-non-trainable NormalizationLayers, a StandardNormal base, the default
-Adam update. Anything else raises — callers fall back to ``train()``.
+non-trainable NormalizationLayers + PermutationLayers (folded away into
+the downstream couplings' index maps — the kernel never permutes), a
+StandardNormal base, the Adam update (default or ``df.adam``
+hyperparameters). Anything else raises — callers fall back to
+``train()``.
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ from .layers import (
     NICECouplingLayer,
     RNVPCouplingLayer,
 )
-from .normalization import NormalizationLayer
+from .normalization import NormalizationLayer, PermutationLayer
 
 __all__ = ["UnsupportedFusedTrain", "chain_train_fold", "train_fused"]
 
@@ -336,7 +339,12 @@ def _packed_unfold(layer, folded, n, id_idx, af_idx):
     return dataclasses.replace(layer, s_net=new_s, t_net=new_t), i
 
 
-def _coupling_fold(layer):
+def _coupling_fold(layer, coord_map=None):
+    """``coord_map`` (an int array, kernel-frame dim per layer-frame dim)
+    relabels the layer's axes into the kernel's coordinate frame — how
+    PermutationLayers fold away entirely: the kernel never permutes, the
+    downstream couplings just read/write the permuted dims (design.md
+    §12e). ``None`` is the identity."""
     ax = layer.axes
     if ax.transform_dim == 0 or ax.nn_input_dim == 0:
         raise UnsupportedFusedTrain("degenerate coupling axes")
@@ -347,6 +355,9 @@ def _coupling_fold(layer):
     d, n = ax.d, ax.n
     id_idx = np.asarray(ax.axis_id, np.int32)
     af_idx = np.asarray(ax.axis_af, np.int32)
+    if coord_map is not None:
+        id_idx = coord_map[id_idx].astype(np.int32)
+        af_idx = coord_map[af_idx].astype(np.int32)
     has_th, has_id = n > 0, len(id_idx) > 0
 
     if isinstance(layer, RNVPCouplingLayer) and _packable(layer.s_net,
@@ -379,11 +390,15 @@ def _coupling_fold(layer):
     return op, pt, mt
 
 
-def _coupling_unfold(layer, folded):
+def _coupling_unfold(layer, folded, coord_map=None):
     ax = layer.axes
     n = ax.n
     id_idx = np.asarray(ax.axis_id, np.int32)
     af_idx = np.asarray(ax.axis_af, np.int32)
+    if coord_map is not None:
+        # slice at the SAME kernel-frame positions the fold scattered to
+        id_idx = coord_map[id_idx].astype(np.int32)
+        af_idx = coord_map[af_idx].astype(np.int32)
     if isinstance(layer, RNVPCouplingLayer) and _packable(layer.s_net,
                                                           layer.t_net):
         return _packed_unfold(layer, folded, n, id_idx, af_idx)
@@ -427,25 +442,43 @@ def chain_train_fold(chain):
     entries = _iter_paths(chain)
     plan, tcounts = [], []
     tparams, masks_dense, cparams = [], [], []
-    spec = []  # (path, kind) per op, trainable param count
+    spec = []  # (path, layer, trainable param count, coord_map) per op
+    # PermutationLayers fold away: the kernel keeps its working vector in
+    # the ORIGINAL x frame and every downstream layer's dims are relabeled
+    # through the accumulated coordinate map instead (a permutation is a
+    # pure frame change with ldj = 0; a leftover trailing map is free too
+    # because the StandardNormal base is permutation-symmetric — Σz² and
+    # the ldj are unchanged, so loss/grads/trajectory match the jnp
+    # program exactly). design.md §12e.
+    cmap = None  # layer-frame dim k lives at kernel dim cmap[k]
     for path, layer in entries:
+        if isinstance(layer, PermutationLayer):
+            inv = np.asarray(layer._inv(), np.int64)
+            cmap = inv if cmap is None else cmap[inv]
+            continue
         if isinstance(layer, (RNVPCouplingLayer, JointRNVPCouplingLayer,
                               NICECouplingLayer)):
-            op, ps, ms = _coupling_fold(layer)
+            op, ps, ms = _coupling_fold(layer, cmap)
             plan.append(op)
             tcounts.append(len(ps))
             tparams.extend(ps)
             masks_dense.extend(ms)
-            spec.append((path, layer, len(ps)))
+            spec.append((path, layer, len(ps), cmap))
         elif isinstance(layer, NormalizationLayer):
             plan.append(("affine",))
             tcounts.append(0)
-            cparams.extend(_affine_const(layer))
-            spec.append((path, layer, 0))
+            consts = _affine_const(layer)
+            if cmap is not None:
+                inv_m = np.argsort(cmap)
+                consts = [consts[0][:, inv_m], consts[1][:, inv_m],
+                          consts[2]]
+            cparams.extend(consts)
+            spec.append((path, layer, 0, cmap))
         else:
             raise UnsupportedFusedTrain(
                 f"{type(layer).__name__} is outside the fused-train "
-                "envelope (RNVP/joint/NICE couplings + Normalization only)")
+                "envelope (RNVP/joint/NICE couplings + Normalization/"
+                "Permutation only)")
     if not any(c for c in tcounts):
         raise UnsupportedFusedTrain("no trainable layers")
 
@@ -465,10 +498,10 @@ def chain_train_fold(chain):
         # optax keeps them.
         layers = list((template or chain).layers)
         i = 0
-        for path, layer, cnt in spec:
+        for path, layer, cnt, cm in spec:
             if cnt == 0:
                 continue
-            new_layer, used = _coupling_unfold(layer, folded[i:i + cnt])
+            new_layer, used = _coupling_unfold(layer, folded[i:i + cnt], cm)
             assert used == cnt, (used, cnt)
             i += cnt
             if len(path) == 1:
@@ -481,13 +514,13 @@ def chain_train_fold(chain):
 
     def fold_state(value_chain):
         out = []
-        for path, _layer, cnt in spec:
+        for path, _layer, cnt, cm in spec:
             if cnt == 0:
                 continue
             node = value_chain.layers[path[0]]
             if len(path) == 2:
                 node = getattr(node, path[1])
-            _op, ps, _ms = _coupling_fold(node)
+            _op, ps, _ms = _coupling_fold(node, cm)
             assert len(ps) == cnt
             out.extend(ps)
         return out

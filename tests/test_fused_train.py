@@ -198,13 +198,14 @@ def test_unsupported_raises(cond_data):
         df.train(flow, data, epochs=1, verbose=False, fused_kernel=True,
                  weights=np.ones(3))
 
-    # unsupported layer types fall out of the fold
-    spline_like = df.Flow(df.flow_chain(
+    # unsupported layer types fall out of the fold (permutations fold
+    # away since r4, so use a genuinely unsupported layer)
+    unsupported = df.Flow(df.flow_chain(
         df.coupling_layer(data, [0, 1, 2], key=key),
-        df.permutation_layer([4, 3, 2, 1, 0]),
+        df.invertible_linear_layer(5, key=jax.random.key(2)),
     ), data)
     with pytest.raises(UnsupportedFusedTrain):
-        df.train(spline_like, data, epochs=1, verbose=False,
+        df.train(unsupported, data, epochs=1, verbose=False,
                  fused_kernel=True)
 
 
@@ -560,3 +561,54 @@ def test_tagged_adam_auto_routes(cond_data, monkeypatch):
     df.train(flow, data, optax.adam(2e-3), epochs=1, verbose=False,
              key=jax.random.key(1))
     assert len(calls) == 2  # opaque optimizer: kernel not attempted
+
+
+def test_permutation_folding_parity(cond_data):
+    """PermutationLayers fold away into the downstream couplings' index
+    maps (the kernel never permutes; a trailing frame change is free
+    under the permutation-symmetric StandardNormal base) — parity with
+    the jnp program everywhere a permutation can sit, including before
+    a NormalizationLayer (whose constants must relabel too)."""
+    data, x = cond_data
+    ks = jax.random.split(jax.random.key(0), 4)
+    chains = {
+        # the standard use: mixing dims between couplings
+        "between": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], key=ks[0], hidden_dim_s=12,
+                              hidden_dim_t=12),
+            df.permutation_layer([4, 2, 0, 3, 1]),
+            df.coupling_layer(d, [0, 1, 2], key=ks[1], hidden_dim_s=12,
+                              hidden_dim_t=12),
+            df.normalization_layer(xx, -1.0, 1.0),
+        ),
+        # trailing frame change (first in the forward chain) + a norm
+        # layer AFTER the permutation in inverse order
+        "norm_after_perm": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [1, 3, 4], key=ks[2], hidden_dim_s=12,
+                              hidden_dim_t=12),
+            df.normalization_layer(xx, -1.0, 1.0),
+            df.permutation_layer([1, 0, 4, 3, 2]),
+            df.coupling_layer(d, [0, 2, 4], key=ks[3], hidden_dim_s=12,
+                              hidden_dim_t=12),
+        ),
+        # two stacked permutations compose
+        "stacked": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], key=ks[0], hidden_dim_s=12,
+                              hidden_dim_t=12),
+            df.permutation_layer([4, 3, 2, 1, 0]),
+            df.permutation_layer([2, 0, 1, 4, 3]),
+            df.coupling_layer(d, [0, 1, 2], key=ks[1],
+                              joint_conditioner=True, hidden_dim_s=12,
+                              hidden_dim_t=12),
+        ),
+    }
+    for name, fn in chains.items():
+        f_j, f_f, os_j, os_f = _parity(data, x, fn, epochs=3)
+        # continuation through fold_state (opt_state folding uses the
+        # same coordinate maps)
+        df.train(f_f, data, opt_state=os_f, epochs=2, batchsize=32,
+                 verbose=False, key=jax.random.key(8), fused_kernel=True)
+        df.train(f_j, data, opt_state=os_j, epochs=2, batchsize=32,
+                 verbose=False, key=jax.random.key(8), fused_kernel=False)
+        np.testing.assert_allclose(f_j.valid_loss, f_f.valid_loss,
+                                   atol=ATOL, err_msg=name)
