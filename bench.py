@@ -223,6 +223,28 @@ def measure_train_paths(jax, df, flow, data, *, reps=TRAIN_REPS,
     return n_train / ej, n_train / ef, details
 
 
+def guard_parity_case(jax, df):
+    """NaN-poisoned skip_nonfinite parity fixture — ONE definition shared
+    by this gate, benchmarks/guard_probe.py, and
+    tests/test_fused_train.py, so the hardware gate can never drift from
+    the CPU test it mirrors. Rows 5/40/77 are poisoned so several (but
+    not all) batches per epoch go non-finite at batchsize 16."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(120, 4)).astype(np.float32)
+    x[[5, 40, 77], 1] = np.nan
+    data = df.DataArrays.make(x, rng=0)
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.coupling_layer(data, [2, 3], key=jax.random.key(1),
+                              hidden_dim_s=8, hidden_dim_t=8),
+        ), data)
+
+    return data, build
+
+
 def fused_train_parity_gate(jax, df, data, build_flow, epochs=50):
     """On-hardware loss-history parity of the whole-run train kernel vs
     the jnp program (identical keys ⇒ identical batch composition). The
@@ -251,19 +273,7 @@ def fused_train_parity_gate(jax, df, data, build_flow, epochs=50):
     # must skip the SAME batch updates as the jnp program — guard math
     # is value-based and could break only in Mosaic lowering, so it too
     # is gated on hardware every run
-    rng = np.random.default_rng(11)
-    xg = rng.normal(size=(120, 4)).astype(np.float32)
-    xg[[5, 40, 77], 1] = np.nan
-    dg = df.DataArrays.make(xg, rng=0)
-
-    def build_guard():
-        return df.Flow(df.flow_chain(
-            df.coupling_layer(dg, [0, 1], key=jax.random.key(0),
-                              hidden_dim_s=8, hidden_dim_t=8),
-            df.coupling_layer(dg, [2, 3], key=jax.random.key(1),
-                              hidden_dim_s=8, hidden_dim_t=8),
-        ), dg)
-
+    dg, build_guard = guard_parity_case(jax, df)
     g_j, g_f = build_guard(), build_guard()
     df.train(g_j, dg, epochs=6, batchsize=16, verbose=False,
              key=jax.random.key(3), skip_nonfinite=True,

@@ -48,20 +48,10 @@ def main():
 
     out = {}
 
-    # --- 1. skip_nonfinite parity -------------------------------------
-    rng = np.random.default_rng(11)
-    x = rng.normal(size=(120, 4)).astype(np.float32)
-    x[[5, 40, 77], 1] = np.nan
-    data = df.DataArrays.make(x, rng=0)
+    # --- 1. skip_nonfinite parity (shared fixture: bench.guard_parity_case)
+    import bench
 
-    def build_guard():
-        return df.Flow(df.flow_chain(
-            df.coupling_layer(data, [0, 1], key=jax.random.key(0),
-                              hidden_dim_s=8, hidden_dim_t=8),
-            df.coupling_layer(data, [2, 3], key=jax.random.key(1),
-                              hidden_dim_s=8, hidden_dim_t=8),
-        ), data)
-
+    data, build_guard = bench.guard_parity_case(jax, df)
     f_j, f_f = build_guard(), build_guard()
     os_j = df.train(f_j, data, epochs=6, batchsize=16, verbose=False,
                     key=jax.random.key(3), skip_nonfinite=True,

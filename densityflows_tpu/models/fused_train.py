@@ -53,7 +53,9 @@ __all__ = ["UnsupportedFusedTrain", "chain_train_fold", "train_fused"]
 _ACTS = ("relu", "tanh", "sigmoid", "identity")
 
 # VMEM feasibility ceiling (bytes) — mirrors ops/pallas_train._VMEM_BUDGET
-_BUDGET = 9 * 1024 * 1024
+# (12 MB: see the rationale there — the 4010-epoch crossover run is
+# hardware-proven at an estimated 10.2 MB)
+_BUDGET = 12 * 1024 * 1024
 
 # HBM ceiling for the pre-gathered batch slab (ops/pallas_train.py
 # materializes (epochs, n_batches, batch, d[+n]) in HBM before the kernel
@@ -530,15 +532,10 @@ def chain_train_fold(chain):
 
 
 def _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize,
-                  epochs, weighted=False):
+                  epochs, weighted=False, track_best=False, guarded=False):
     n_batches = -(-n // batchsize)
-    need = train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize,
-                            d, n_cond, n, nv, weighted=weighted)
-    if need > _BUDGET:
-        raise UnsupportedFusedTrain(
-            f"working set ~{need / 1e6:.1f} MB exceeds the VMEM budget "
-            f"({_BUDGET / 1e6:.0f} MB) — dataset/model too large for the "
-            "whole-run kernel; use train() (its scan streams from HBM)")
+    # the slab check first: at huge epoch counts BOTH budgets trip, and
+    # "run fewer epochs per call" is the actionable message there
     slab = epochs * n_batches * batchsize * (d + n_cond) * 4
     if slab > _HBM_SLAB_BUDGET:
         raise UnsupportedFusedTrain(
@@ -546,6 +543,15 @@ def _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize,
             f"× features) exceeds the HBM budget "
             f"({_HBM_SLAB_BUDGET / 1e9:.0f} GB) — run fewer epochs per "
             "call or use train() (its scan re-gathers per epoch)")
+    need = train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize,
+                            d, n_cond, n, nv, weighted=weighted,
+                            epochs=epochs, track_best=track_best,
+                            guarded=guarded)
+    if need > _BUDGET:
+        raise UnsupportedFusedTrain(
+            f"working set ~{need / 1e6:.1f} MB exceeds the VMEM budget "
+            f"({_BUDGET / 1e6:.0f} MB) — dataset/model too large for the "
+            "whole-run kernel; use train() (its scan streams from HBM)")
 
 
 def train_fused(
@@ -612,7 +618,8 @@ def train_fused(
         w_valid = wf[np.asarray(data.partition.validation)]
 
     _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize,
-                  epochs, weighted=weights is not None)
+                  epochs, weighted=weights is not None,
+                  track_best=track_best, guarded=skip_nonfinite)
 
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))

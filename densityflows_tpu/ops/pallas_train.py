@@ -59,8 +59,12 @@ __all__ = ["run_fused_train", "train_vmem_bytes"]
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
 # VMEM ceiling for the feasibility estimate (v5e ~16 MB/core; leave room
-# for Mosaic's double-buffering of the per-epoch slab)
-_VMEM_BUDGET = 9 * 1024 * 1024
+# for Mosaic's double-buffering of the per-epoch slab). 12 MB: the 4010
+# epoch crossover run (est. 10.2 MB once the estimator counted the
+# lane-padded history blocks) is hardware-PROVEN, and the measured
+# Mosaic compile-failure zone starts at ~28 MB estimates (design.md
+# §12b); auto mode catches an estimator miss at runtime and falls back.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _act(name, u):
@@ -585,13 +589,18 @@ def _train_kernel(
 
         # masked grads == the unfolded jnp gradient leaves scattered, so
         # checking them after masking matches train._all_finite exactly
-        # (off-support folded entries never enter the jnp pytree)
+        # (off-support folded entries never enter the jnp pytree). The
+        # mask is a SELECT, not a multiply: an off-support grad that
+        # overflowed to ±inf would turn inf·0 into NaN, poisoning the
+        # folded zero pattern (and, guarded, tripping a skip the jnp
+        # program doesn't take).
         if guard:
             ok_f = jnp.where(jnp.isfinite(loss), 1.0, 0.0)
         for k in range(n_t):
             slot = mask_slots[k]
             if slot is not None:
-                grads[k] = grads[k] * mask_refs[slot][:]
+                grads[k] = jnp.where(mask_refs[slot][:] > 0.5,
+                                     grads[k], 0.0)
             if guard:
                 ok_f = jnp.minimum(
                     ok_f,
@@ -670,11 +679,15 @@ def _offsets(plan, tcounts):
 
 
 def train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize, d, n,
-                     n_ev_t, n_ev_v, weighted=False) -> int:
+                     n_ev_t, n_ev_v, weighted=False, epochs=0,
+                     track_best=False, guarded=False) -> int:
     """Rough resident working set: the per-epoch slab (double-buffered,
     lane-padded), eval sets, 7 tile-padded copies of the params (p/m/v
-    in+out + masks), and one op's live activations at the largest row
-    count (Mosaic reuses activation buffers across the plan fold)."""
+    in+out + masks), one op's live activations at the largest row
+    count (Mosaic reuses activation buffers across the plan fold), the
+    (epochs, 1) history blocks lane-padded to 128 (2 NLL rows, +1 when
+    ``guarded``), and one more param copy when ``track_best`` (the
+    best-epoch outputs)."""
     lane = 128
     tile = 8 * lane * 4  # min f32 tile
 
@@ -699,7 +712,9 @@ def train_vmem_bytes(plan, tparams, cparams, n_batches, batchsize, d, n,
     n_hidden = sum(max(op[3], op[4]) for op in plan if op[0] == "coupling")
     acts = (2 + n_hidden) * batchsize * max(widest, lane) * 4 \
         + 6 * max(n_ev_t, n_ev_v) * max(widest, lane) * 4
-    return 2 * slab + evals + params + consts + acts
+    hist = (3 if guarded else 2) * (-(-epochs // 8) * 8) * lane * 4
+    best = sum(param_bytes(p) for p in tparams) if track_best else 0
+    return 2 * slab + evals + params + consts + acts + hist + best
 
 
 @functools.partial(

@@ -94,8 +94,9 @@ def _write_metrics(metrics_log, flow, epochs):
 
     logger = MetricsLogger(metrics_log)
     epoch0 = len(flow.train_loss) - epochs
-    for e, (tl, vl) in enumerate(zip(flow.train_loss[-epochs:],
-                                     flow.valid_loss[-epochs:])):
+    # slice from an explicit start: [-0:] would re-log the whole history
+    for e, (tl, vl) in enumerate(zip(flow.train_loss[epoch0:],
+                                     flow.valid_loss[epoch0:])):
         logger.write(epoch=epoch0 + e + 1, train_nll=float(tl),
                      valid_nll=float(vl))
 
@@ -262,15 +263,26 @@ def make_train_program(
       untouched and are counted (fused-program analogue of the
       reference's per-batch debug hooks, src/Flows.jl:405-409).
     """
-    cache_key = (id(optimizer), batchsize, epochs, shuffle, n_train, n_valid,
+    # tagged Adams key by hyperparameters (the documented usage
+    # `train(flow, data, df.adam(3e-3))` creates a fresh instance per
+    # call — an id() key would recompile every time on the jnp path);
+    # opaque optimizers key by identity
+    if isinstance(optimizer, Adam):
+        opt_key = ("df.adam", optimizer.learning_rate, optimizer.b1,
+                   optimizer.b2, optimizer.eps)
+    else:
+        opt_key = id(optimizer)
+    cache_key = (opt_key, batchsize, epochs, shuffle, n_train, n_valid,
                  batch_sharding, pure, remat, mixed_precision, weighted,
                  track_best, guard_nonfinite)
     cached = _PROGRAM_CACHE.get(cache_key)
     # the entry stores the optimizer itself: it keeps the id() alive (a
     # GC'd optimizer could hand its id to a NEW optimizer and silently
-    # hit a stale program) and the identity check makes collisions
-    # impossible rather than merely unlikely
-    if cached is not None and cached[0] is optimizer:
+    # hit a stale program) and the identity/equivalence check makes
+    # collisions impossible rather than merely unlikely
+    if cached is not None and (
+            cached[0] is optimizer
+            or (isinstance(optimizer, Adam) and isinstance(cached[0], Adam))):
         return cached[1]
     # epoch bookkeeping evals stay f32 even under mixed precision: loss
     # histories are the correctness record (src/Flows.jl:419-437)

@@ -409,20 +409,12 @@ def test_skip_nonfinite_parity():
     """In-kernel non-finite guard == train(skip_nonfinite=True): NaN rows
     poison exactly the batches that gather them; both paths must skip
     the same updates, keep identical finite params, and advance the
-    Adam count only on applied steps."""
-    rng = np.random.default_rng(11)
-    x = rng.normal(size=(120, 4)).astype(np.float32)
-    x[[5, 40, 77], 1] = np.nan
-    data = df.DataArrays.make(x, rng=0)
+    Adam count only on applied steps. The fixture is shared with
+    bench.py's hardware gate (bench.guard_parity_case) so this CPU test
+    and the on-hardware gate can never drift apart."""
+    import bench
 
-    def build():
-        return df.Flow(df.flow_chain(
-            df.coupling_layer(data, [0, 1], key=jax.random.key(0),
-                              hidden_dim_s=8, hidden_dim_t=8),
-            df.coupling_layer(data, [2, 3], key=jax.random.key(1),
-                              hidden_dim_s=8, hidden_dim_t=8),
-        ), data)
-
+    data, build = bench.guard_parity_case(jax, df)
     f_j, f_f = build(), build()
     os_j = df.train(f_j, data, epochs=4, batchsize=16, verbose=False,
                     key=jax.random.key(3), skip_nonfinite=True,
