@@ -46,6 +46,7 @@ from .layers import (
     NICECouplingLayer,
     RNVPCouplingLayer,
 )
+from .glow import ActNormLayer
 from .normalization import NormalizationLayer, PermutationLayer
 
 __all__ = ["UnsupportedFusedTrain", "chain_train_fold", "train_fused"]
@@ -417,6 +418,26 @@ def _coupling_unfold(layer, folded, coord_map=None):
     return dataclasses.replace(layer, t_net=t_net), used
 
 
+def _anorm_fold(layer, cmap=None):
+    """ActNorm → [log_scale (1, d), bias (1, d)] in the kernel frame
+    (relabeled through the accumulated coordinate map like the
+    Normalization constants)."""
+    s = jnp.asarray(layer.log_scale, jnp.float32).reshape(1, -1)
+    b = jnp.asarray(layer.bias, jnp.float32).reshape(1, -1)
+    if cmap is not None:
+        inv_m = np.argsort(cmap)
+        s, b = s[:, inv_m], b[:, inv_m]
+    return [s, b]
+
+
+def _anorm_unfold(layer, folded, cmap=None):
+    s, b = folded[0], folded[1]
+    if cmap is not None:
+        s, b = s[:, cmap], b[:, cmap]
+    return dataclasses.replace(layer, log_scale=s.reshape(-1),
+                               bias=b.reshape(-1)), 2
+
+
 def _affine_const(layer):
     """NormalizationLayer → inverse-direction (a, b, signed-ldj) constants
     (non-trainable by design — stop-gradient data range,
@@ -466,6 +487,15 @@ def chain_train_fold(chain):
             tparams.extend(ps)
             masks_dense.extend(ms)
             spec.append((path, layer, len(ps), cmap))
+        elif isinstance(layer, ActNormLayer):
+            # TRAINABLE per-dim affine (Glow §3.1): two (1, d) params in
+            # the kernel's "anorm" op, no gradient masks (every entry is
+            # a real parameter)
+            plan.append(("anorm",))
+            tcounts.append(2)
+            tparams.extend(_anorm_fold(layer, cmap))
+            masks_dense.extend([None, None])
+            spec.append((path, layer, 2, cmap))
         elif isinstance(layer, NormalizationLayer):
             plan.append(("affine",))
             tcounts.append(0)
@@ -479,8 +509,8 @@ def chain_train_fold(chain):
         else:
             raise UnsupportedFusedTrain(
                 f"{type(layer).__name__} is outside the fused-train "
-                "envelope (RNVP/joint/NICE couplings + Normalization/"
-                "Permutation only)")
+                "envelope (RNVP/joint/NICE couplings + ActNorm/"
+                "Normalization/Permutation only)")
     if not any(c for c in tcounts):
         raise UnsupportedFusedTrain("no trainable layers")
 
@@ -503,7 +533,12 @@ def chain_train_fold(chain):
         for path, layer, cnt, cm in spec:
             if cnt == 0:
                 continue
-            new_layer, used = _coupling_unfold(layer, folded[i:i + cnt], cm)
+            if isinstance(layer, ActNormLayer):
+                new_layer, used = _anorm_unfold(layer, folded[i:i + cnt],
+                                                cm)
+            else:
+                new_layer, used = _coupling_unfold(layer,
+                                                   folded[i:i + cnt], cm)
             assert used == cnt, (used, cnt)
             i += cnt
             if len(path) == 1:
@@ -522,7 +557,10 @@ def chain_train_fold(chain):
             node = value_chain.layers[path[0]]
             if len(path) == 2:
                 node = getattr(node, path[1])
-            _op, ps, _ms = _coupling_fold(node, cm)
+            if isinstance(node, ActNormLayer):
+                ps = _anorm_fold(node, cm)
+            else:
+                _op, ps, _ms = _coupling_fold(node, cm)
             assert len(ps) == cnt
             out.extend(ps)
         return out

@@ -39,8 +39,10 @@ identity on them). Adam itself reproduces `optax.adam` exactly
 (scale_by_adam with bias correction, eps_root=0, then scale(-lr)).
 
 Supported ops: "coupling" (nvp / nice / joint) with value-differentiable
-activations (relu, tanh, sigmoid, identity) and "affine" (Normalization /
-ActNorm — non-trainable constants). The builder
+activations (relu, tanh, sigmoid, identity), "anorm" (TRAINABLE Glow
+ActNorm — two (1, d) params with their own value-based backward), and
+"affine" (Normalization — non-trainable constants). Permutations fold
+away at the builder level (coordinate-map composition). The builder
 (models/fused_train.py) rejects everything else.
 """
 
@@ -412,7 +414,7 @@ def _coupling_bwd(op, cache, th, gz, jbar):
 
 
 def _op_is_trainable(op) -> bool:
-    return op[0] == "coupling"
+    return op[0] in ("coupling", "anorm")
 
 
 def _plan_fwd(plan, t_refs, c_refs, x, th, want_cache):
@@ -422,6 +424,14 @@ def _plan_fwd(plan, t_refs, c_refs, x, th, want_cache):
         if op[0] == "coupling":
             x, ldj, cache = _coupling_fwd(op, tp, x, th, ldj, want_cache)
             caches.append(cache)
+        elif op[0] == "anorm":
+            # TRAINABLE per-dim affine (Glow ActNorm, glow.py:43-74),
+            # inverse direction: z = (x − b)·eˢ, ldj += Σs
+            s = tp[0][:]
+            e = jnp.exp(s)
+            x = (x - tp[1][:]) * e
+            ldj = ldj + jnp.sum(s)
+            caches.append((x, e) if want_cache else None)
         elif op[0] == "affine":
             a = cp[0][:]
             x = x * a + cp[1][:]
@@ -455,6 +465,15 @@ def _plan_bwd(plan, caches, th, gz, jbar, offsets, n_tparams):
             o = offsets[i]
             for k, g in enumerate(op_grads):
                 grads[o + k] = g
+        elif op[0] == "anorm":
+            # z = (x − b)·eˢ ⇒ ∂z/∂s = z, ∂z/∂b = −eˢ; the ldj term Σⱼsⱼ
+            # couples jbar into every sⱼ
+            z_val, e = caches[i]
+            o = offsets[i]
+            grads[o] = jnp.sum(gz * z_val, axis=0, keepdims=True) \
+                + jnp.sum(jbar)
+            grads[o + 1] = -jnp.sum(gz, axis=0, keepdims=True) * e
+            gz = gz * e
         elif op[0] == "affine":
             gz = gz * caches[i][0]
     return grads
@@ -536,7 +555,7 @@ def _train_kernel(
     t_refs, c_refs = [], []
     ci = 0
     for op_i, op in enumerate(plan):
-        if op[0] == "coupling":
+        if _op_is_trainable(op):
             o = offsets[op_i]
             cnt = offsets[op_i + 1] - o if op_i + 1 < len(offsets) else n_t - o
             t_refs.append(p_out[o:o + cnt])

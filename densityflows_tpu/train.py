@@ -639,7 +639,8 @@ def train(
     configs, measured 10.3× the jnp program on the reference README
     config on a v5e (55 µs vs 567 µs per epoch, round-4 probe;
     docs/design.md §12). Supported surface: RNVP/joint/NICE couplings
-    (incl. ``max_log_scale`` clamps) + Normalization/Permutation layers,
+    (incl. ``max_log_scale`` clamps) + ActNorm (trainable) /
+    Normalization/Permutation layers,
     StandardNormal base, Adam (the default Adam(1e-3) or a tagged
     ``df.adam(lr, b1, b2, eps)``), ``weights=``, ``skip_nonfinite``,
     ``metrics_log``, and best-epoch tracking; no

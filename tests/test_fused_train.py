@@ -604,3 +604,47 @@ def test_permutation_folding_parity(cond_data):
                  verbose=False, key=jax.random.key(8), fused_kernel=False)
         np.testing.assert_allclose(f_j.valid_loss, f_f.valid_loss,
                                    atol=ATOL, err_msg=name)
+
+
+def test_actnorm_parity(cond_data):
+    """Trainable ActNorm rides the kernel as its own "anorm" op (two
+    (1, d) params, value-based backward incl. the Σs ldj coupling) —
+    parity with the jnp program, params must actually move, and the
+    coordinate-map relabeling composes with permutations."""
+    data, x = cond_data
+    ks = jax.random.split(jax.random.key(0), 2)
+    chains = {
+        "between": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], key=ks[0], hidden_dim_s=12,
+                              hidden_dim_t=12),
+            df.actnorm_layer(xx),
+            df.coupling_layer(d, [2, 3, 4], key=ks[1], hidden_dim_s=12,
+                              hidden_dim_t=12),
+            df.normalization_layer(xx, -1.0, 1.0),
+        ),
+        "perm_then_actnorm": lambda d, xx: df.flow_chain(
+            df.coupling_layer(d, [0, 1, 2], key=ks[0], hidden_dim_s=12,
+                              hidden_dim_t=12),
+            df.permutation_layer([3, 1, 4, 0, 2]),
+            df.actnorm_layer(xx),
+            df.coupling_layer(d, [1, 2, 3], key=ks[1],
+                              joint_conditioner=True, hidden_dim_s=12,
+                              hidden_dim_t=12),
+        ),
+    }
+    for name, fn in chains.items():
+        f_j, f_f, os_j, os_f = _parity(data, x, fn, epochs=3)
+        # the ActNorm params moved (they are real optimizer leaves)
+        an_orig = [l for l in fn(data, x).layers
+                   if type(l).__name__ == "ActNormLayer"][0]
+        an_new = [l for l in f_f.model.layers
+                  if type(l).__name__ == "ActNormLayer"][0]
+        assert not np.allclose(np.asarray(an_orig.log_scale),
+                               np.asarray(an_new.log_scale)), name
+        # continuation: Adam moments for ActNorm leaves fold/unfold
+        df.train(f_f, data, opt_state=os_f, epochs=2, batchsize=32,
+                 verbose=False, key=jax.random.key(9), fused_kernel=True)
+        df.train(f_j, data, opt_state=os_j, epochs=2, batchsize=32,
+                 verbose=False, key=jax.random.key(9), fused_kernel=False)
+        np.testing.assert_allclose(f_j.valid_loss, f_f.valid_loss,
+                                   atol=ATOL, err_msg=name)
