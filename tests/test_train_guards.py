@@ -141,3 +141,31 @@ def test_early_stopping_restores_exact_best_epoch():
     vl = df.evaluate(flow, data, "validation")
     best = min(flow.validation_loss)
     assert abs(vl - best) < 1e-5, (vl, best)
+
+
+# -- tagged Adam through the chunked drivers ----------------------------------
+
+
+def test_tagged_adam_through_chunked_drivers(tmp_path):
+    """df.adam(...) flows through the early-stopping and
+    checkpoint-restart chunk drivers (each chunk is a plain-surface
+    train() call that may auto-route through the fused kernel on TPU;
+    on the CPU rig they run the jnp program with the cached-by-
+    hyperparameters Adam)."""
+    flow, data = _setup(7)
+    df.train(flow, data, df.adam(2e-3), epochs=12, batchsize=32,
+             verbose=False, key=jax.random.key(1),
+             early_stopping_patience=6, early_stopping_check_every=4)
+    assert len(flow.train_loss) >= 4
+    assert np.isfinite(flow.train_loss).all()
+
+    flow2, _ = _setup(7)
+    s = df.train(flow2, data, df.adam(2e-3), epochs=6, batchsize=32,
+                 verbose=False, key=jax.random.key(2),
+                 checkpoint_dir=str(tmp_path), checkpoint_every=3)
+    assert len(flow2.train_loss) == 6
+    # resume is a no-op when the checkpoint is already at target
+    df.train(flow2, data, df.adam(2e-3), s, epochs=6, batchsize=32,
+             verbose=False, key=jax.random.key(2),
+             checkpoint_dir=str(tmp_path), resume=True)
+    assert len(flow2.train_loss) == 6
