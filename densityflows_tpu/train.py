@@ -86,6 +86,13 @@ def adam(learning_rate: float = 1e-3, b1: float = 0.9, b2: float = 0.999,
     return Adam(learning_rate, b1=b1, b2=b2, eps=eps)
 
 
+def _adam_key(opt: Adam) -> tuple:
+    """The tuple of hyperparameters that fully determines an Adam's
+    update — the ONLY basis on which two Adam instances may share a
+    cached program or ride the fused kernel."""
+    return ("df.adam", opt.learning_rate, opt.b1, opt.b2, opt.eps)
+
+
 def _write_metrics(metrics_log, flow, epochs):
     """Append the last ``epochs`` history entries to the JSONL metrics
     log (shared by the jnp and fused-kernel paths — the kernel returns
@@ -266,10 +273,10 @@ def make_train_program(
     # tagged Adams key by hyperparameters (the documented usage
     # `train(flow, data, df.adam(3e-3))` creates a fresh instance per
     # call — an id() key would recompile every time on the jnp path);
-    # opaque optimizers key by identity
-    if isinstance(optimizer, Adam):
-        opt_key = ("df.adam", optimizer.learning_rate, optimizer.b1,
-                   optimizer.b2, optimizer.eps)
+    # opaque optimizers — including Adam SUBCLASSES, whose update() may
+    # differ — key by identity
+    if type(optimizer) is Adam:
+        opt_key = _adam_key(optimizer)
     else:
         opt_key = id(optimizer)
     cache_key = (opt_key, batchsize, epochs, shuffle, n_train, n_valid,
@@ -280,9 +287,14 @@ def make_train_program(
     # GC'd optimizer could hand its id to a NEW optimizer and silently
     # hit a stale program) and the identity/equivalence check makes
     # collisions impossible rather than merely unlikely
+    # two Adams are interchangeable only if their tagged hyperparameters
+    # agree — compared explicitly (not via cache_key alone) so adding a
+    # field to Adam without extending _adam_key fails loudly in tests
+    # rather than silently sharing a program
     if cached is not None and (
             cached[0] is optimizer
-            or (isinstance(optimizer, Adam) and isinstance(cached[0], Adam))):
+            or (type(optimizer) is Adam and type(cached[0]) is Adam
+                and _adam_key(optimizer) == _adam_key(cached[0]))):
         return cached[1]
     # epoch bookkeeping evals stay f32 even under mixed precision: loss
     # histories are the correctness record (src/Flows.jl:419-437)
@@ -659,9 +671,11 @@ def train(
     - ``False``: always the jnp program.
     """
     # Adam hyperparams the kernel can honor: None → the shared default
-    # Adam(1e-3); a tagged df.adam(...) → its lr/b1/b2/eps
+    # Adam(1e-3); a tagged df.adam(...) → its lr/b1/b2/eps. Exact-type
+    # check: an Adam SUBCLASS may override update() with semantics the
+    # kernel does not implement, so it must take the jnp path
     _kernel_hp = {}
-    if isinstance(optimizer, Adam):
+    if type(optimizer) is Adam:
         _kernel_hp = dict(lr=optimizer.learning_rate, b1=optimizer.b1,
                           b2=optimizer.b2, eps=optimizer.eps)
 
@@ -684,7 +698,7 @@ def train(
             or debug or checkpoint_dir is not None
             or early_stopping_patience is not None
             or (optimizer is not None
-                and not isinstance(optimizer, Adam)))
+                and type(optimizer) is not Adam))
         if plain_surface and jax.default_backend() == "tpu":
             from .models.fused_train import (
                 UnsupportedFusedTrain,
@@ -714,11 +728,12 @@ def train(
                 "only (no mesh/remat/mixed_precision/debug/checkpointing"
                 "/early stopping) — drop fused_kernel to use the jnp "
                 "program")
-        if optimizer is not None and not isinstance(optimizer, Adam):
+        if optimizer is not None and type(optimizer) is not Adam:
             raise ValueError(
                 "fused_kernel=True uses the built-in Adam update; pass "
                 "a df.adam(lr, b1, b2, eps) (its hyperparameters are "
-                "introspectable) instead of an opaque optax optimizer")
+                "introspectable) instead of an opaque optax optimizer "
+                "or Adam subclass")
         from .models.fused_train import train_fused
 
         return _fused_call(train_fused)

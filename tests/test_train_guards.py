@@ -169,3 +169,52 @@ def test_tagged_adam_through_chunked_drivers(tmp_path):
              verbose=False, key=jax.random.key(2),
              checkpoint_dir=str(tmp_path), resume=True)
     assert len(flow2.train_loss) == 6
+
+
+# -- optimizer program-cache equivalence (ADVICE r4) --------------------------
+
+
+def test_adam_subclass_does_not_share_cached_program():
+    """An Adam SUBCLASS may override update() with different semantics:
+    it must key the program cache by identity (not hyperparameters) and
+    never be treated as kernel-routable (ADVICE r4, train.py cache-hit
+    check)."""
+    from densityflows_tpu.train import make_train_program
+
+    class SignAdam(df.Adam):
+        def update(self, updates, state, params=None):
+            u, s = super().update(updates, state, params)
+            u = jax.tree_util.tree_map(jax.numpy.sign, u)
+            return u, s
+
+    base = df.adam(1e-3)
+    sub = SignAdam(1e-3)
+    prog_base = make_train_program(base, batchsize=32, epochs=2)
+    prog_sub = make_train_program(sub, batchsize=32, epochs=2)
+    assert prog_base is not prog_sub
+    # identical tagged hyperparameters on the exact type DO share
+    assert make_train_program(df.adam(1e-3), batchsize=32, epochs=2) is prog_base
+    # different hyperparameters do not
+    assert make_train_program(df.adam(2e-3), batchsize=32, epochs=2) is not prog_base
+    # and the subclass keys by identity: a fresh instance recompiles
+    assert make_train_program(SignAdam(1e-3), batchsize=32, epochs=2) is not prog_sub
+
+
+def test_adam_subclass_trains_with_its_own_update():
+    # end-to-end: the overridden update actually runs (sign-clipped steps
+    # move every parameter by exactly ±lr when moments are fresh)
+    class ZeroAdam(df.Adam):
+        def update(self, updates, state, params=None):
+            u, s = super().update(updates, state, params)
+            u = jax.tree_util.tree_map(jax.numpy.zeros_like, u)
+            return u, s
+
+    flow, data = _setup(11)
+    # snapshot to host first: the train program donates the model buffers
+    before = [np.asarray(l).copy()
+              for l in jax.tree_util.tree_leaves(flow.model)]
+    df.train(flow, data, ZeroAdam(1e-3), epochs=2, verbose=False,
+             key=jax.random.key(0))
+    after = jax.tree_util.tree_leaves(flow.model)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, np.asarray(b))
