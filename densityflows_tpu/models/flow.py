@@ -147,6 +147,11 @@ class Flow:
         # per-epoch counts of batch updates skipped as non-finite
         # (populated by train(skip_nonfinite=True))
         self.skipped_updates: list[int] = []
+        # which path the most recent train() call ran ("fused" = the
+        # whole-run Pallas kernel, "jnp" = the XLA program) and, when the
+        # fused kernel declined, the envelope/surface item that blocked it
+        self.trained_path: str | None = None
+        self.fused_decline_reason: str | None = None
         # device-resident θ bounds for boundary normalization
         self._theta_min = jnp.asarray(metadata.theta_min)
         self._theta_max = jnp.asarray(metadata.theta_max)

@@ -648,3 +648,70 @@ def test_actnorm_parity(cond_data):
                  verbose=False, key=jax.random.key(9), fused_kernel=False)
         np.testing.assert_allclose(f_j.valid_loss, f_f.valid_loss,
                                    atol=ATOL, err_msg=name)
+
+
+def test_fallback_visibility(cond_data, monkeypatch, capsys):
+    """train() records which path ran (flow.trained_path) and why the
+    fused kernel declined (flow.fused_decline_reason); under verbose=True
+    the decline notice names the blocking item (VERDICT r4 item 7)."""
+    import densityflows_tpu.models.fused_train as ft
+
+    data, x = cond_data
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    # CPU rig: jnp path; the reason records the backend, nothing printed
+    flow = build()
+    df.train(flow, data, epochs=1, verbose=False, key=jax.random.key(1))
+    assert flow.trained_path == "jnp"
+    assert "non-TPU backend" in flow.fused_decline_reason
+    assert "fused-train kernel" not in capsys.readouterr().out
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # blocked surface flag: reason names it, verbose prints exactly once
+    flow = build()
+    df.train(flow, data, epochs=1, verbose=True, key=jax.random.key(1),
+             mixed_precision=True)
+    assert flow.trained_path == "jnp"
+    assert "mixed_precision" in flow.fused_decline_reason
+    out = capsys.readouterr().out
+    assert out.count("fused-train kernel not used") == 1
+    assert "mixed_precision" in out
+
+    # non-verbose surface decline: recorded, not printed
+    flow = build()
+    df.train(flow, data, epochs=1, verbose=False, key=jax.random.key(1),
+             mixed_precision=True)
+    assert "mixed_precision" in flow.fused_decline_reason
+    assert "fused-train kernel" not in capsys.readouterr().out
+
+    # envelope decline: the UnsupportedFusedTrain message is the reason
+    def fake(*a, **k):
+        raise ft.UnsupportedFusedTrain("pre-gathered batch slab ~9.9 GB "
+                                       "(probe)")
+
+    monkeypatch.setattr(ft, "train_fused", fake)
+    flow = build()
+    df.train(flow, data, epochs=1, verbose=True, key=jax.random.key(1))
+    assert flow.trained_path == "jnp"
+    assert "slab" in flow.fused_decline_reason
+    assert "slab" in capsys.readouterr().out
+
+    # successful kernel run: path recorded, reason cleared
+    def ok(fl, *a, **k):
+        fl.train_loss.append(1.0)
+        fl.valid_loss.append(1.0)
+        return None
+
+    monkeypatch.setattr(ft, "train_fused", ok)
+    flow = build()
+    flow.fused_decline_reason = "stale"
+    df.train(flow, data, epochs=1, verbose=False, key=jax.random.key(1))
+    assert flow.trained_path == "fused"
+    assert flow.fused_decline_reason is None
