@@ -245,6 +245,80 @@ def guard_parity_case(jax, df):
     return data, build
 
 
+def surface_parity_case(jax, df):
+    """Composite kernel-surface fixture (VERDICT r4 item 2): every
+    feature that auto-routes into the whole-run train kernel rides in
+    ONE chain — split coupling → permutation → trainable ActNorm →
+    clamped JOINT coupling → normalization — trained with the tagged
+    ``df.adam(3e-3, b1=0.85)``, per-row importance weights, and
+    track_best. ONE definition shared by the hardware gate and the CPU
+    interpret test so the two can never drift."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(160, 5)).astype(np.float32)
+    th = rng.uniform(-1, 2, size=(160, 2)).astype(np.float32)
+    w = rng.uniform(0.3, 2.5, size=160).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=12, hidden_dim_t=12),
+            df.permutation_layer([3, 1, 4, 0, 2]),
+            df.actnorm_layer(x),
+            df.coupling_layer(data, [1, 2, 3], key=jax.random.key(1),
+                              joint_conditioner=True, hidden_dim_s=12,
+                              hidden_dim_t=12, max_log_scale=3.0),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    return data, build, w
+
+
+def fused_surface_parity_gate(jax, df, epochs=20):
+    """Standing hardware regression gate over the WHOLE auto-routed
+    kernel surface (perm folding, ActNorm op, tanh clamp, joint heads,
+    weights, track_best, tagged-Adam hyperparams) — converts the one-off
+    design.md §12c/e/g probes into an every-driver-run check against the
+    Mosaic-lowering bug class (round-2 PRNG sign extension).
+
+    Two tolerances: epoch-1 parity is DETERMINISTIC (measured
+    1.4e-5–1.8e-4 across the r4 probes) so it is gated strictly at 1e-3;
+    the full history may drift to float-accumulation order over chaotic
+    epochs, gated loosely at 0.1. The strict gate pins the regime where
+    a systematic per-step numeric bug cannot hide behind chaos."""
+    data, build, w = surface_parity_case(jax, df)
+    f_j, f_f = build(), build()
+    _, best_j = df.train(
+        f_j, data, df.adam(3e-3, b1=0.85), epochs=epochs, batchsize=32,
+        verbose=False, key=jax.random.key(2), weights=w,
+        _track_best=True, fused_kernel=False)
+    _, best_f = df.train(
+        f_f, data, df.adam(3e-3, b1=0.85), epochs=epochs, batchsize=32,
+        verbose=False, key=jax.random.key(2), weights=w,
+        _track_best=True, fused_kernel=True)
+    finite = (np.isfinite(f_j.train_loss).all()
+              and np.isfinite(f_f.train_loss).all())
+    e1 = max(abs(f_j.train_loss[0] - f_f.train_loss[0]),
+             abs(f_j.valid_loss[0] - f_f.valid_loss[0]))
+    hist = max(
+        max(abs(a - b) for a, b in zip(f_j.train_loss, f_f.train_loss)),
+        max(abs(a - b) for a, b in zip(f_j.valid_loss, f_f.valid_loss)))
+    best_err = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree_util.tree_leaves(best_j),
+                        jax.tree_util.tree_leaves(best_f)) if a.size)
+    if not finite or e1 > 1e-3 or hist > 0.1 or best_err > 1e-2:
+        raise RuntimeError(
+            f"composite kernel-surface parity gate failed: epoch-1 err "
+            f"{e1} (strict 1e-3), history err {hist} (0.1), best-model "
+            f"param err {best_err} (1e-2), finite={finite}")
+    return {
+        "fused_surface_parity_max_err": round(float(e1), 6),
+        "fused_surface_history_max_err": round(float(hist), 6),
+        "fused_surface_best_param_err": round(best_err, 6),
+    }
+
+
 def fused_train_parity_gate(jax, df, data, build_flow, epochs=50):
     """On-hardware loss-history parity of the whole-run train kernel vs
     the jnp program (identical keys ⇒ identical batch composition). The
@@ -262,12 +336,18 @@ def fused_train_parity_gate(jax, df, data, build_flow, epochs=50):
     errs = [abs(a - b) for a, b in zip(f_j.train_loss, f_f.train_loss)]
     errs += [abs(a - b) for a, b in zip(f_j.valid_loss, f_f.valid_loss)]
     err = max(errs)
+    # strict short-horizon companion (VERDICT r4 weak #3): epoch-1 parity
+    # is deterministic (~1e-4 measured) — the 0.1 long-horizon tolerance
+    # only covers chaotic accumulation drift, not per-step numeric bugs
+    err_e1 = max(abs(f_j.train_loss[0] - f_f.train_loss[0]),
+                 abs(f_j.valid_loss[0] - f_f.valid_loss[0]))
     finite = (np.isfinite(f_j.train_loss).all()
               and np.isfinite(f_f.train_loss).all())
-    if not finite or err > 0.1:
+    if not finite or err > 0.1 or err_e1 > 1e-3:
         raise RuntimeError(
             f"fused-train kernel diverged from the jnp program on "
-            f"hardware: max history err {err}, finite={finite} "
+            f"hardware: max history err {err} (tol 0.1), epoch-1 err "
+            f"{err_e1} (strict tol 1e-3), finite={finite} "
             f"(final jnp={f_j.train_loss[-1]}, fused={f_f.train_loss[-1]})")
     # in-kernel non-finite guard (r4 surface growth): NaN-poisoned rows
     # must skip the SAME batch updates as the jnp program — guard math
@@ -294,6 +374,7 @@ def fused_train_parity_gate(jax, df, data, build_flow, epochs=50):
 
     return {
         "fused_train_parity_max_err": round(float(err), 6),
+        "fused_train_epoch1_err": round(float(err_e1), 8),
         "fused_guard_parity_max_err": round(guard_err, 6),
         "final_nll_jnp": float(f_j.train_loss[-1]),
         "final_nll_fused": float(f_f.train_loss[-1]),
@@ -387,34 +468,53 @@ def _fused_parity(jax, jnp, df, chain, base, d, n_cond, theta1):
             f"max err {logprob_err} (median |logp| {scale})"
         )
 
-    # in-kernel PRNG sampling: moments vs the jnp sampling path
+    # in-kernel PRNG sampling: moments vs the jnp sampling path, over
+    # THREE independent seeds (VERDICT r4 item 6 — one fixed seed is one
+    # fixed draw, under which a small persistent sampler bias can hide).
+    # Statistic per seed: z = max over d dims of |Δmean| / (√2·se) —
+    # both means are MC estimates with standard error se, so their
+    # difference has std √2·se and z ~ max of d |N(0,1)| under H0.
+    # Gates: every seed z ≤ 5 (false-positive ≈ d·2Φ(-5) ≈ 1.8e-5/seed
+    # at d=32) and median-over-seeds z ≤ 4 (noise needs ≥2 of 3 seeds
+    # past 4σ: ≈ 3·(d·2Φ(-4))² ≈ 1.2e-5/run — while a persistent ≥4σ
+    # bias trips it every run). Whole-gate false-positive rate ≲ 1e-4.
     n_draws = 1 << 18
-    s_f = fc.maybe_sample_fused(
-        chain, jax.random.key(11), n_draws, d,
-        jnp.asarray(np.asarray(theta1, np.float32)).reshape(1, n_cond))
-    if s_f is None:
-        raise RuntimeError("in-kernel sampler did not route at wide config")
-    s_f = np.asarray(s_f)
-    r = base.sample(jax.random.key(12), (n_draws,))
-    s_o = np.asarray(jax.jit(
-        lambda c, rr, tt: fc._jnp_chain(c, rr, tt, "fwd", False)
-    )(chain, r, jnp.broadcast_to(
-        jnp.asarray(np.asarray(theta1, np.float32)), (n_draws, n_cond))))
-    if not np.isfinite(s_f).all():
-        raise RuntimeError("in-kernel sampler produced non-finite draws "
-                           "(the round-2 PRNG sign-extension bug class)")
-    se = s_o.std(0) / np.sqrt(n_draws)
-    mean_err = np.abs(s_f.mean(0) - s_o.mean(0))
-    std_ratio = s_f.std(0) / s_o.std(0)
-    moment_err = float(np.max(mean_err / (8 * se)))  # <1 → within 8σ MC
-    if moment_err > 1.0 or np.abs(std_ratio - 1).max() > 0.05:
+    theta_row = jnp.asarray(np.asarray(theta1, np.float32))
+    zs = []
+    for seed in (11, 21, 31):
+        s_f = fc.maybe_sample_fused(
+            chain, jax.random.key(seed), n_draws, d,
+            theta_row.reshape(1, n_cond))
+        if s_f is None:
+            raise RuntimeError(
+                "in-kernel sampler did not route at wide config")
+        s_f = np.asarray(s_f)
+        r = base.sample(jax.random.key(seed + 1), (n_draws,))
+        s_o = np.asarray(jax.jit(
+            lambda c, rr, tt: fc._jnp_chain(c, rr, tt, "fwd", False)
+        )(chain, r, jnp.broadcast_to(theta_row, (n_draws, n_cond))))
+        if not np.isfinite(s_f).all():
+            raise RuntimeError(
+                "in-kernel sampler produced non-finite draws "
+                "(the round-2 PRNG sign-extension bug class)")
+        se = s_o.std(0) / np.sqrt(n_draws)
+        z = float(np.max(np.abs(s_f.mean(0) - s_o.mean(0))
+                         / (np.sqrt(2) * se)))
+        std_ratio = s_f.std(0) / s_o.std(0)
+        if z > 5.0 or np.abs(std_ratio - 1).max() > 0.05:
+            raise RuntimeError(
+                f"in-kernel-PRNG sampling moments diverged (seed {seed}): "
+                f"max-dim z={z} (tol 5), std ratios {std_ratio}")
+        zs.append(z)
+    moment_err = float(np.median(zs)) / 4.0  # <1 → median within 4σ
+    if moment_err > 1.0:
         raise RuntimeError(
-            f"in-kernel-PRNG sampling moments diverged: mean_err/8se="
-            f"{moment_err}, std ratios {std_ratio}"
-        )
+            f"in-kernel-PRNG sampler shows a PERSISTENT moment bias: "
+            f"per-seed max-dim z values {zs} (median tol 4)")
     return {
         "fused_parity_max_err": round(logprob_err, 6),
         "fused_sample_moment_err": round(moment_err, 4),
+        "fused_sample_moment_z_by_seed": [round(z, 3) for z in zs],
     }
 
 
@@ -512,7 +612,12 @@ def _bench_wide(jax, jnp, df):
         base, d, n_cond, np.asarray(theta[0]))
     parity = {
         k: max(parity_j[k], parity_s[k]) for k in parity_j
+        if not isinstance(parity_j[k], list)
     }
+    parity["fused_sample_moment_z_by_seed"] = [
+        max(a, b) for a, b in zip(parity_j["fused_sample_moment_z_by_seed"],
+                                  parity_s["fused_sample_moment_z_by_seed"])
+    ]
 
     # roofline/MFU: conditioner matmul FLOPs per sample; training ≈ 3×
     # forward (backward re-does each matmul twice: dL/dW and dL/dx)
@@ -566,6 +671,10 @@ def main():
     par = fused_train_parity_gate(jax, df, data, build_flow)
     final_nll = par["final_nll_fused"]
 
+    # composite kernel-surface gate: perm/ActNorm/clamp/joint/weights/
+    # track_best/tagged-Adam all in one hardware-checked chain
+    surf = fused_surface_parity_gate(jax, df)
+
     # headline: raw-program interleaved two-point rates for BOTH paths.
     # train() auto-routes the reference config through the fused kernel
     # on TPU (train.py fused_kernel='auto'), so the fused rate IS the
@@ -616,8 +725,15 @@ def main():
                 "ref_fused_train_samples_per_sec": round(sps_fused, 1),
                 "fused_train_parity_max_err":
                     par["fused_train_parity_max_err"],
+                "fused_train_epoch1_err": par["fused_train_epoch1_err"],
                 "fused_guard_parity_max_err":
                     par["fused_guard_parity_max_err"],
+                "fused_surface_parity_max_err":
+                    surf["fused_surface_parity_max_err"],
+                "fused_surface_history_max_err":
+                    surf["fused_surface_history_max_err"],
+                "fused_surface_best_param_err":
+                    surf["fused_surface_best_param_err"],
                 "headline_path": "fused whole-run train kernel "
                                  "(auto-routed; ops/pallas_train.py)",
                 "sample_draws_per_sec": round(sample_dps, 1),
@@ -637,6 +753,8 @@ def main():
                     wide["split_flops_per_sample_fwd"],
                 "fused_parity_max_err": wide["fused_parity_max_err"],
                 "fused_sample_moment_err": wide["fused_sample_moment_err"],
+                "fused_sample_moment_z_by_seed":
+                    wide["fused_sample_moment_z_by_seed"],
                 "peak_tflops_bf16": wide["peak_tflops_bf16"],
                 "device_kind": wide["device_kind"],
                 "timing": "raw-program interleaved two-point "

@@ -715,3 +715,35 @@ def test_fallback_visibility(cond_data, monkeypatch, capsys):
     df.train(flow, data, epochs=1, verbose=False, key=jax.random.key(1))
     assert flow.trained_path == "fused"
     assert flow.fused_decline_reason is None
+
+
+def test_surface_parity_gate_interpret():
+    """bench.fused_surface_parity_gate (the composite kernel-surface
+    hardware gate: coupling -> permutation -> ActNorm -> clamped joint
+    coupling -> normalization with df.adam(3e-3, b1=0.85), weights, and
+    track_best) passes in interpret mode, and a deliberate per-step
+    numeric perturbation in the fused path trips the strict epoch-1
+    tolerance — proving the gate can actually fail (VERDICT r4 item 2)."""
+    import bench
+
+    out = bench.fused_surface_parity_gate(jax, df, epochs=4)
+    assert out["fused_surface_parity_max_err"] <= 1e-3
+    assert out["fused_surface_history_max_err"] <= 0.1
+
+    class SkewedDF:
+        """df proxy whose fused-path train() runs a 30%-off Adam lr —
+        the stand-in for a systematic in-kernel numeric bug."""
+
+        def __getattr__(self, name):
+            return getattr(df, name)
+
+        @staticmethod
+        def train(flow, data, optimizer=None, *a, **k):
+            if k.get("fused_kernel") and optimizer is not None:
+                optimizer = df.adam(optimizer.learning_rate * 1.3,
+                                    b1=optimizer.b1, b2=optimizer.b2,
+                                    eps=optimizer.eps)
+            return df.train(flow, data, optimizer, *a, **k)
+
+    with pytest.raises(RuntimeError, match="epoch-1"):
+        bench.fused_surface_parity_gate(jax, SkewedDF(), epochs=4)
