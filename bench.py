@@ -640,6 +640,209 @@ def _bench_wide(jax, jnp, df):
     }
 
 
+def _bench_inference(jax, jnp, df, flow, *, n_particles=1 << 17,
+                     smc_hi=64, batch=4096):
+    """Hardware anchor for BASELINE config 4 (sharded-particle
+    inference) — the engine's headline capability ADDITION over the
+    reference (whose only inference tool is the serial rejection loop,
+    src/Flows.jl:196-229). Two rates, both two-point timed:
+
+    - ``smc_particle_steps_per_sec``: the public :func:`df.run_smc`
+      (ONE jitted program: reweight + systematic resample + n_mh=2 MH
+      moves per λ-step) against the trained reference flow's log_prob
+      at θ=−1, differenced across two λ-ladder lengths — the per-call
+      constant (x0 draw + dispatch + fetch) cancels exactly.
+    - ``snpe_weighted_train_samples_per_sec``: the importance-weighted
+      train step (the inner loop of every ``fit_posterior`` round)
+      scanned at two lengths at a representative posterior config
+      (5-D θ posterior conditioned on 5 summaries, hidden 64,
+      batch 4096).
+    """
+    import optax
+
+    from densityflows_tpu.inference import make_weighted_train_step
+
+    # --- SMC over the trained flow's density --------------------------------
+    n_mh = 2
+    lo, hi = 8, smc_hi
+    theta_n = flow.prepare_theta((-1.0,), (n_particles,))
+
+    def log_p(x):
+        z, ldj = flow.model.inverse(x, theta_n)
+        return flow.base.log_prob(z) + ldj
+
+    def smc_time(n_steps):
+        p, _, _ = df.run_smc(
+            log_p, d=flow.metadata.d, n_particles=n_particles,
+            n_steps=n_steps, key=jax.random.key(4), n_mh=n_mh)
+        jax.block_until_ready(p)
+
+    smc_time(lo), smc_time(hi)  # compile both ladder lengths
+    rate = None
+    for _ in range(4):
+        ds = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            smc_time(lo)
+            t1 = time.perf_counter()
+            smc_time(hi)
+            t2 = time.perf_counter()
+            ds.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
+        d_step = float(np.median(ds))
+        if d_step > 0:
+            rate = n_particles / d_step
+            break
+        lo, hi = lo, hi * 2  # widen the gap past the jitter floor
+        smc_time(hi)
+    if rate is None:
+        raise RuntimeError("SMC two-point timing stayed jitter-dominated")
+
+    # --- SNPE weighted-step rate --------------------------------------------
+    d_th, n_sum, hidden = 5, 5, 64
+    rng = np.random.default_rng(3)
+    ks = jax.random.split(jax.random.key(6), 3)
+    post_chain = df.flow_chain(
+        df.coupling_layer(d_th, [0, 1, 2], n=n_sum, key=ks[0],
+                          hidden_dim_s=hidden, hidden_dim_t=hidden),
+        df.coupling_layer(d_th, [2, 3, 4], n=n_sum, key=ks[1],
+                          hidden_dim_s=hidden, hidden_dim_t=hidden),
+        df.coupling_layer(d_th, [4, 0, 1], n=n_sum, key=ks[2],
+                          hidden_dim_s=hidden, hidden_dim_t=hidden),
+    )
+    base = df.StandardNormal(d_th)
+    optimizer = optax.adam(1e-3)
+    wstep = make_weighted_train_step(optimizer)
+    th_b = jnp.asarray(rng.normal(size=(batch, d_th)).astype(np.float32))
+    x_b = jnp.asarray(
+        rng.uniform(0, 1, size=(batch, n_sum)).astype(np.float32))
+    w_b = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=(batch,)).astype(np.float32))
+
+    def make_snpe_scan(m):
+        @jax.jit
+        def run(model, opt):
+            def body(c, _):
+                mm, oo = c
+                mm, oo, loss = wstep(mm, oo, base, th_b, x_b, w_b)
+                return (mm, oo), loss
+
+            (mm, oo), losses = jax.lax.scan(body, (model, opt), None,
+                                            length=m)
+            return losses[-1]
+
+        return run
+
+    snpe_sps = _scan_rate(make_snpe_scan, batch, post_chain,
+                          optimizer.init(post_chain), m1=8, m2=64)
+    return {
+        "smc_particle_steps_per_sec": rate,
+        "smc_config": f"{n_particles} particles, n_mh={n_mh}, target = "
+                      "trained 5-D reference flow log_prob",
+        "snpe_weighted_train_samples_per_sec": snpe_sps,
+        "snpe_config": f"5-D posterior | 5 summaries, hidden 64 x3 "
+                       f"layers, batch {batch}, importance-weighted NLL",
+    }
+
+
+def _bench_d128(jax, jnp, df, *, batch=4096, n_per=4096, m2=64):
+    """Single-chip anchor for BASELINE config 5 (the pod-scale run:
+    128-D flow, multi-host DP + 10M conditional draws/s θ-grid sweep).
+    Until round 5 the only 128-D evidence was a 2-process CPU smoke —
+    this measures the real per-chip train rate and the θ-sweep draws/s
+    (the reference ``forward!`` fold, src/Chains.jl:187-197, via the
+    ``Flow.sample_sweep`` program shape) so the driver re-measures them
+    every round and the pod target becomes arithmetic: ≥10M draws/s on
+    N≥2 hosts holds iff per-chip × chips × 0.8 ≥ 10M.
+
+    Config: d=128, n=8 conditions, hidden 512, 4 joint coupling blocks,
+    batch 4096 — the batch obeys the §13 VMEM-prefetch rule
+    (batch × hidden × 2 B = 4 MB, the same saved-activation size as the
+    known-good wide config; batch 8192 at hidden 512 would cross it and
+    regress, design.md §13)."""
+    import optax
+
+    from densityflows_tpu.train import make_train_step
+
+    d, n_cond, hidden, n_blocks = 128, 8, 512, 4
+    rng = np.random.default_rng(0)
+    x_ref = rng.normal(size=(512, d)).astype(np.float32)
+    keys = jax.random.split(jax.random.key(0), n_blocks)
+    chain = df.flow_chain(
+        *[
+            df.coupling_block(d, None, n=n_cond, key=k,
+                              hidden_dim_s=hidden, hidden_dim_t=hidden,
+                              joint_conditioner=True)
+            for k in keys
+        ],
+        df.normalization_layer(x_ref, -1.0, 1.0),
+    )
+    base = df.StandardNormal(d)
+    optimizer = optax.adam(1e-3)
+    step = make_train_step(optimizer, mixed_precision=True)
+
+    x = jnp.asarray(rng.normal(size=(batch, d)).astype(np.float32))
+    theta = jnp.asarray(
+        rng.uniform(0, 1, size=(batch, n_cond)).astype(np.float32))
+    mask = jnp.ones((batch,), jnp.float32)
+
+    def make_train_scan(m):
+        @jax.jit
+        def run(model, opt):
+            def body(c, _):
+                mm, oo = c
+                mm, oo, loss = step(mm, oo, base, x, theta, mask)
+                return (mm, oo), loss
+
+            (mm, oo), losses = jax.lax.scan(body, (model, opt), None,
+                                            length=m)
+            return losses[-1]
+
+        return run
+
+    train_sps = _scan_rate(make_train_scan, batch, chain,
+                           optimizer.init(chain), m1=8, m2=m2)
+
+    # θ-grid sweep: G=64 grid points × 4096 draws each per rep — per-row
+    # θ exactly as Flow.sample_sweep lays it out; forward_ auto-routes
+    # through the fused whole-chain kernel at this width (d≥32, h≥128)
+    g = 64
+    total = g * n_per
+    thetas = jnp.asarray(
+        rng.uniform(0, 1, size=(g, n_cond)).astype(np.float32))
+    theta_rows = jnp.repeat(thetas, n_per, axis=0)
+
+    def make_sweep_scan(m):
+        @jax.jit
+        def run(key):
+            def body(c, k):
+                r = base.sample(k, (total,))
+                out = chain.forward_(r, theta_rows)
+                return c + jnp.sum(out), None
+
+            tot, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jax.random.split(key, m))
+            return tot
+
+        return run
+
+    sweep_dps = _scan_rate(make_sweep_scan, total, jax.random.key(5))
+
+    fwd_flops = _mlp_flops_per_sample(chain)
+    peak, _ = _device_peak_flops(jax)
+    return {
+        "train_sps": train_sps,
+        "sweep_dps": sweep_dps,
+        "train_mfu": train_sps * 3 * fwd_flops / peak,
+        "sweep_mfu": sweep_dps * fwd_flops / peak,
+        "flops_per_sample_fwd": fwd_flops,
+        "pod_10m_per_chip": sweep_dps >= 10e6,
+        "config": f"d=128 n=8 joint(s||t) conditioners, hidden 512 x4 "
+                  f"blocks, batch {batch} (design.md SS13 batch rule), "
+                  f"mixed_precision train; sweep = {g}-point theta grid "
+                  f"x {n_per} draws",
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -692,6 +895,12 @@ def main():
 
     # flagship wide config (BASELINE.json config 3)
     wide = _bench_wide(jax, jnp, df)
+
+    # pod-config single-chip anchor (BASELINE.json config 5)
+    d128 = _bench_d128(jax, jnp, df)
+
+    # inference-engine anchor (BASELINE.json config 4) over the trained flow
+    inf = _bench_inference(jax, jnp, df, flow)
 
     value = train_sps
     baseline_path = os.path.join(here, "BENCH_BASELINE.json")
@@ -755,6 +964,19 @@ def main():
                 "fused_sample_moment_err": wide["fused_sample_moment_err"],
                 "fused_sample_moment_z_by_seed":
                     wide["fused_sample_moment_z_by_seed"],
+                "d128_train_samples_per_sec": round(d128["train_sps"], 1),
+                "d128_sweep_draws_per_sec": round(d128["sweep_dps"], 1),
+                "d128_train_mfu": round(d128["train_mfu"], 4),
+                "d128_sweep_mfu": round(d128["sweep_mfu"], 4),
+                "d128_flops_per_sample_fwd": d128["flops_per_sample_fwd"],
+                "d128_pod_10m_draws_per_chip": d128["pod_10m_per_chip"],
+                "d128_config": d128["config"],
+                "smc_particle_steps_per_sec": round(
+                    inf["smc_particle_steps_per_sec"], 1),
+                "smc_config": inf["smc_config"],
+                "snpe_weighted_train_samples_per_sec": round(
+                    inf["snpe_weighted_train_samples_per_sec"], 1),
+                "snpe_config": inf["snpe_config"],
                 "peak_tflops_bf16": wide["peak_tflops_bf16"],
                 "device_kind": wide["device_kind"],
                 "timing": "raw-program interleaved two-point "
