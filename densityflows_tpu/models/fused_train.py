@@ -655,9 +655,41 @@ def train_fused(
         w_train = wf[np.asarray(data.partition.training)]
         w_valid = wf[np.asarray(data.partition.validation)]
 
-    _check_budget(plan, tparams, cparams, n, nv, d, n_cond, batchsize,
-                  epochs, weighted=weights is not None,
-                  track_best=track_best, guarded=skip_nonfinite)
+    # epoch-chunking (r5): the slab/VMEM budgets are (near-)linear in
+    # the epoch count, so a run too long for one kernel call is split
+    # into balanced epoch chunks that each fit — folded params/moments
+    # carry between chunks on device, shuffle keys are ONE
+    # split(key, epochs) sliced across chunks, and the Adam count
+    # continues — so the chunked trajectory equals the single-call one
+    # exactly. Only a config whose SINGLE-epoch working set exceeds the
+    # budgets (dataset/model too large for VMEM-resident evals/params)
+    # stays unsupported.
+    def _fits(e):
+        try:
+            _check_budget(plan, tparams, cparams, n, nv, d, n_cond,
+                          batchsize, e, weighted=weights is not None,
+                          track_best=track_best, guarded=skip_nonfinite)
+            return True
+        except UnsupportedFusedTrain:
+            return False
+
+    if _fits(epochs):
+        chunk = epochs
+    else:
+        # re-raise the 1-epoch failure with its actionable message when
+        # even a single epoch is out of the envelope
+        _check_budget(plan, tparams, cparams, n, nv, d, n_cond,
+                      batchsize, 1, weighted=weights is not None,
+                      track_best=track_best, guarded=skip_nonfinite)
+        lo_e, hi_e = 1, epochs
+        while lo_e < hi_e:  # largest epoch count that fits
+            mid = (lo_e + hi_e + 1) // 2
+            if _fits(mid):
+                lo_e = mid
+            else:
+                hi_e = mid - 1
+        n_chunks = -(-epochs // lo_e)
+        chunk = -(-epochs // n_chunks)  # balanced; ceil(E/ceil(E/m)) <= m
 
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
@@ -680,16 +712,65 @@ def train_fused(
     t0 = _time.perf_counter()
     theta = jnp.asarray(th_train) if n_cond else None
     theta_v = jnp.asarray(th_valid) if n_cond else None
-    p_new, mu_new, nu_new, tls, vls, best, skips = run_fused_train(
-        plan, tcounts, tparams, masks, mask_slots, cparams, mu, nu,
-        jnp.asarray(x_train), theta, jnp.asarray(x_valid), theta_v, key,
-        epochs=epochs, batchsize=batchsize, shuffle=shuffle,
-        count0=count0, lr=lr, b1=b1, b2=b2, eps=eps,
-        track_best=track_best, w=w_train, w_valid=w_valid,
-        guard_nonfinite=skip_nonfinite,
-    )
-    tls = np.asarray(tls)  # host fetch blocks on kernel completion
-    vls = np.asarray(vls)
+    x_dev, xv_dev = jnp.asarray(x_train), jnp.asarray(x_valid)
+    n_batches = -(-n // batchsize)
+    if chunk == epochs:
+        p_new, mu_new, nu_new, tls, vls, best, skips = run_fused_train(
+            plan, tcounts, tparams, masks, mask_slots, cparams, mu, nu,
+            x_dev, theta, xv_dev, theta_v, key,
+            epochs=epochs, batchsize=batchsize, shuffle=shuffle,
+            count0=count0, lr=lr, b1=b1, b2=b2, eps=eps,
+            track_best=track_best, w=w_train, w_valid=w_valid,
+            guard_nonfinite=skip_nonfinite,
+        )
+        tls = np.asarray(tls)  # host fetch blocks on kernel completion
+        vls = np.asarray(vls)
+        skips = np.asarray(skips) if skip_nonfinite else None
+    else:
+        if verbose:
+            n_chunks = -(-epochs // chunk)
+            print(f"[fused-train kernel: {epochs} epochs in {n_chunks} "
+                  f"chunks of <= {chunk} (slab/VMEM budget)]")
+        keys_all = jax.random.split(key, epochs)
+        p_new, mu_new, nu_new = list(tparams), mu, nu
+        tls_l, vls_l, skips_l = [], [], []
+        best = None
+        best_vl = np.inf
+        count = count0
+        done = 0
+        while done < epochs:
+            e_c = min(chunk, epochs - done)
+            out = run_fused_train(
+                plan, tcounts, p_new, masks, mask_slots, cparams,
+                mu_new, nu_new, x_dev, theta, xv_dev, theta_v, key,
+                epochs=e_c, batchsize=batchsize, shuffle=shuffle,
+                count0=count, lr=lr, b1=b1, b2=b2, eps=eps,
+                track_best=track_best, w=w_train, w_valid=w_valid,
+                guard_nonfinite=skip_nonfinite,
+                epoch_keys=keys_all[done:done + e_c],
+            )
+            p_new, mu_new, nu_new = list(out[0]), list(out[1]), list(out[2])
+            tls_c, vls_c = np.asarray(out[3]), np.asarray(out[4])
+            tls_l.append(tls_c)
+            vls_l.append(vls_c)
+            c_skips = 0
+            if skip_nonfinite:
+                sk = np.asarray(out[6])
+                skips_l.append(sk)
+                c_skips = int(sk.sum())
+            count += e_c * n_batches - c_skips
+            if track_best:
+                # the first chunk always seeds (kernel semantics: epoch 0
+                # writes unconditionally); after that a NaN chunk minimum
+                # never wins — matching the in-kernel `vl < prev_best`
+                # comparison, which is false on NaN
+                c_best = float(np.min(vls_c))
+                if best is None or c_best < best_vl:
+                    best, best_vl = out[5], c_best
+            done += e_c
+        tls = np.concatenate(tls_l)
+        vls = np.concatenate(vls_l)
+        skips = np.concatenate(skips_l) if skip_nonfinite else None
     elapsed = _time.perf_counter() - t0
 
     flow.model = unfold(list(p_new))
@@ -701,7 +782,6 @@ def train_fused(
         n_skipped = int(skips.sum())
         flow.skipped_updates.extend(int(v) for v in skips)
 
-    n_batches = -(-n // batchsize)
     ref_state = optax.adam(lr, b1=b1, b2=b2, eps=eps).init(flow.model)
     def zero_tpl():
         # fresh arrays per tree: mu/nu must not alias (the jnp program

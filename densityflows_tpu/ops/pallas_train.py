@@ -672,7 +672,11 @@ def _train_kernel(
         # min is +inf so `better` is True and bp_out gets its first
         # write — no separate best_vl state needed
         prev_best = jnp.min(jnp.where(row < e, hist_v[:], jnp.inf))
-        better = vl < prev_best
+        # e == 0 writes unconditionally: with a NaN valid NLL the `<`
+        # comparison is false at every epoch and bp_out would otherwise
+        # return uninitialized VMEM (NaN histories are the skip_nonfinite
+        # regime — epoch-0 params are the defined fallback)
+        better = jnp.logical_or(vl < prev_best, e == 0)
         for k in range(n_t):
             bp_out[k][:] = jnp.where(better, p_out[k][:], bp_out[k][:])
     rows = [(hist_t, tl), (hist_v, vl)]
@@ -826,6 +830,7 @@ def run_fused_train(
     *, epochs, batchsize, shuffle=True, n_train=None, n_valid=None,
     count0=0, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8, interpret=None,
     track_best=False, w=None, w_valid=None, guard_nonfinite=False,
+    epoch_keys=None,
 ):
     """Run the whole training loop as one kernel.
 
@@ -852,7 +857,11 @@ def run_fused_train(
     n_batches = -(-n // batchsize)
     n_pad = n_batches * batchsize
 
-    keys = jax.random.split(key, epochs)
+    # epoch_keys: explicit per-epoch shuffle keys — the epoch-chunked
+    # driver (models/fused_train.py) slices ONE split(key, total_epochs)
+    # across its chunks so batch composition matches the single whole-run
+    # call (and the jnp program) exactly
+    keys = jax.random.split(key, epochs) if epoch_keys is None else epoch_keys
     if shuffle:
         perms = jax.vmap(
             lambda k: jax.random.permutation(k, n).astype(jnp.int32)

@@ -230,17 +230,116 @@ def test_fold_unfold_roundtrip(cond_data):
 
 
 def test_hbm_slab_guard(cond_data):
-    """O(epochs × rows) pre-gathered batch slab must be rejected before
-    anything tries to materialize it (VERDICT r3 weak #4)."""
+    """Since r5 long runs CHUNK through the kernel instead of being
+    rejected; the slab guard only rejects a config whose SINGLE-epoch
+    working set exceeds the budget (exercised by shrinking the budget
+    below one epoch's slab — nothing may be materialized first)."""
+    import densityflows_tpu.models.fused_train as ft
+
     data, x = cond_data
     flow = df.Flow(df.flow_chain(
         df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
                           hidden_dim_s=8, hidden_dim_t=8),
         df.normalization_layer(x, -1.0, 1.0),
     ), data)
-    with pytest.raises(UnsupportedFusedTrain, match="slab"):
-        train_fused(flow, data, epochs=2_000_000, verbose=False,
-                    key=jax.random.key(1))
+    orig = ft._HBM_SLAB_BUDGET
+    try:
+        ft._HBM_SLAB_BUDGET = 64  # below any single epoch's slab
+        with pytest.raises(UnsupportedFusedTrain, match="slab"):
+            train_fused(flow, data, epochs=3, verbose=False,
+                        key=jax.random.key(1))
+    finally:
+        ft._HBM_SLAB_BUDGET = orig
+
+
+def test_chunked_kernel_bit_identical(cond_data):
+    """A run too long for one kernel call splits into epoch chunks that
+    must reproduce the single-call run BIT-FOR-BIT (same sliced shuffle
+    keys, folded state carried on device, Adam count continued) — with
+    weights, track_best, and the non-finite guard all riding along
+    (VERDICT r4 items 4/8)."""
+    import densityflows_tpu.models.fused_train as ft
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(120, 4)).astype(np.float32)
+    x[[5, 40, 77], 1] = np.nan  # real skips exercise the count carry
+    w = rng.uniform(0.3, 2.0, size=120).astype(np.float32)
+    data = df.DataArrays.make(x, rng=0)
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.coupling_layer(data, [2, 3], key=jax.random.key(1),
+                              hidden_dim_s=8, hidden_dim_t=8),
+        ), data)
+
+    kw = dict(epochs=9, batchsize=16, verbose=False,
+              key=jax.random.key(5), weights=w, skip_nonfinite=True)
+    f_a = build()
+    os_a = ft.train_fused(f_a, data, **kw)
+
+    nb = -(-len(data.partition.training) // 16)
+    orig = ft._HBM_SLAB_BUDGET
+    try:
+        ft._HBM_SLAB_BUDGET = 4 * nb * 16 * 4 * 4  # 4 epochs per chunk
+        f_b = build()
+        os_b = ft.train_fused(f_b, data, **kw)
+    finally:
+        ft._HBM_SLAB_BUDGET = orig
+
+    def same_hist(a, b):
+        return all((x == y) or (np.isnan(x) and np.isnan(y))
+                   for x, y in zip(a, b))
+
+    assert same_hist(f_a.train_loss, f_b.train_loss)
+    assert same_hist(f_a.valid_loss, f_b.valid_loss)
+    assert f_a.skipped_updates == f_b.skipped_updates
+    assert sum(f_b.skipped_updates) > 0
+    assert int(os_a[0].count) == int(os_b[0].count)
+    for a, b in zip(jax.tree_util.tree_leaves((f_a.model,
+                                               os_a[0].mu, os_a[0].nu)),
+                    jax.tree_util.tree_leaves((f_b.model,
+                                               os_b[0].mu, os_b[0].nu))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunked_kernel_track_best_and_weights(cond_data):
+    """Chunked track_best selects the global best across chunk
+    boundaries and equals the single-call kernel exactly."""
+    import densityflows_tpu.models.fused_train as ft
+
+    data, x = cond_data
+    rng = np.random.default_rng(3)
+    w = rng.uniform(0.3, 2.0, size=data.x.shape[0]).astype(np.float32)
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    kw = dict(epochs=9, batchsize=32, verbose=False,
+              key=jax.random.key(5), weights=w, track_best=True)
+    f_a = build()
+    os_a, best_a = ft.train_fused(f_a, data, **kw)
+
+    nb = -(-len(data.partition.training) // 32)
+    orig = ft._HBM_SLAB_BUDGET
+    try:
+        ft._HBM_SLAB_BUDGET = 3 * nb * 32 * 6 * 4  # 3 epochs per chunk
+        f_b = build()
+        os_b, best_b = ft.train_fused(f_b, data, **kw)
+    finally:
+        ft._HBM_SLAB_BUDGET = orig
+
+    assert f_a.train_loss == f_b.train_loss
+    assert f_a.valid_loss == f_b.valid_loss
+    assert int(os_a[0].count) == int(os_b[0].count)
+    for a, b in zip(jax.tree_util.tree_leaves((f_a.model, best_a)),
+                    jax.tree_util.tree_leaves((f_b.model, best_b))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_auto_routing_decision(cond_data, monkeypatch):
