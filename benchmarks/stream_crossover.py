@@ -1,0 +1,160 @@
+"""Envelope map at realistic dataset scale (VERDICT r4 item 8).
+
+Measures, on hardware, the per-epoch cost of the THREE train paths —
+
+- jnp program (`train.make_train_program`, raw dispatch),
+- resident whole-run kernel (where it still fits),
+- STREAMING kernel (per-batch HBM blocks + snapshot evals, r5)
+
+— at the reference width (5-D, hidden-16 conditioners, batch 64) across
+row counts spanning the resident envelope boundary (~10-15k rows) into
+streaming territory: 2k / 10k / 50k / 200k rows. Two-point raw-program
+timing (Δt/Δepochs, LO/HI interleaved across paths) per the r4
+methodology — whole train() calls are never timed.
+
+Run on the TPU:
+    PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/stream_crossover.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _timed(fn):
+    import jax
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn())
+    return time.perf_counter() - t0
+
+
+def measure_rows(n_rows, lo=2, hi=12, reps=5):
+    import jax
+    import jax.numpy as jnp
+
+    import densityflows_tpu as df
+    from densityflows_tpu.models.fused_train import (
+        _check_budget,
+        chain_train_fold,
+    )
+    from densityflows_tpu.models.fused_train import (
+        UnsupportedFusedTrain,
+    )
+    from densityflows_tpu.ops.pallas_train import run_fused_train
+    from densityflows_tpu.ops.pallas_train_stream import (
+        eval_snapshots,
+        run_fused_train_stream,
+    )
+    from densityflows_tpu.train import _default_adam, make_train_program
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n_rows, 5)).astype(np.float32)
+    th = rng.uniform(-1, 2, size=(n_rows, 1)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+    ks = jax.random.split(jax.random.key(0), 3)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], hidden_dim_s=16,
+                          hidden_dim_t=16, key=ks[0]),
+        df.coupling_layer(data, [2, 3, 4], hidden_dim_s=16,
+                          hidden_dim_t=16, key=ks[1]),
+        df.coupling_layer(data, [4, 0, 1], hidden_dim_s=16,
+                          hidden_dim_t=16, key=ks[2]),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    flow = df.Flow(chain, data)
+    batchsize = 64
+
+    x_t, th_t = data.normalized_training_data(flow.metadata)
+    x_v, th_v = data.normalized_validation_data(flow.metadata)
+    x_t, th_t = jnp.asarray(x_t), jnp.asarray(th_t)
+    x_v, th_v = jnp.asarray(x_v), jnp.asarray(th_v)
+    n_train = x_t.shape[0]
+    key = jax.random.key(2)
+    opt = _default_adam()
+
+    # --- jnp raw program ----------------------------------------------------
+    progs = {e: make_train_program(opt, batchsize, e) for e in (lo, hi)}
+
+    def run_jnp(e):
+        model = jax.tree_util.tree_map(jnp.array, flow.model)
+        opt_state = opt.init(model)
+        jax.block_until_ready((model, opt_state))
+        return _timed(lambda: progs[e](
+            model, opt_state, flow.base, x_t, th_t, x_v, th_v, key)[2])
+
+    # --- folded kernels -----------------------------------------------------
+    (plan, tcounts, tparams, masks, mask_slots, cparams, _fs,
+     _uf) = chain_train_fold(flow.model)
+    mu0 = [jnp.zeros_like(p) for p in tparams]
+    nu0 = [jnp.zeros_like(p) for p in tparams]
+
+    def resident_ok(e):
+        try:
+            _check_budget(plan, tparams, cparams, n_train, x_v.shape[0],
+                          5, 1, batchsize, e)
+            return True
+        except UnsupportedFusedTrain:
+            return False
+
+    def run_resident(e):
+        def go():
+            out = run_fused_train(
+                plan, tcounts, list(tparams), masks, mask_slots, cparams,
+                list(mu0), list(nu0), x_t, th_t, x_v, th_v, key,
+                epochs=e, batchsize=batchsize)
+            return out[3]
+
+        return _timed(go)
+
+    def run_stream(e):
+        def go():
+            p, m, v, snaps, _ = run_fused_train_stream(
+                plan, tcounts, list(tparams), masks, mask_slots, cparams,
+                list(mu0), list(nu0), x_t, th_t, key,
+                epochs=e, batchsize=batchsize)
+            tl = eval_snapshots(list(snaps), list(cparams), x_t, th_t,
+                                None, plan=plan, tcounts=tuple(tcounts))
+            vl = eval_snapshots(list(snaps), list(cparams), x_v, th_v,
+                                None, plan=plan, tcounts=tuple(tcounts))
+            return tl, vl
+
+        return _timed(go)
+
+    paths = {"jnp": run_jnp, "stream": run_stream}
+    if resident_ok(hi):
+        paths["resident"] = run_resident
+
+    for f in paths.values():  # compile LO and HI
+        f(lo), f(hi)
+
+    us_per_epoch = {name: [] for name in paths}
+    for _ in range(reps):
+        for name, f in paths.items():  # interleaved
+            t_lo = f(lo)
+            t_hi = f(hi)
+            us_per_epoch[name].append((t_hi - t_lo) / (hi - lo) * 1e6)
+
+    out = {"rows": n_rows, "batch": batchsize}
+    for name, v in us_per_epoch.items():
+        med = float(np.median(v))
+        out[f"{name}_us_per_epoch"] = round(med, 1)
+        out[f"{name}_samples_per_sec"] = round(n_train / (med / 1e6), 1)
+    if "stream" in out and "jnp_us_per_epoch" in out:
+        out["stream_speedup_vs_jnp"] = round(
+            out["jnp_us_per_epoch"] / out["stream_us_per_epoch"], 2)
+    return out
+
+
+def main():
+    results = []
+    for n_rows in (2_000, 10_000, 50_000, 200_000):
+        r = measure_rows(n_rows)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    print(json.dumps({"table": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -673,14 +673,10 @@ def train_fused(
         except UnsupportedFusedTrain:
             return False
 
+    stream = False
     if _fits(epochs):
         chunk = epochs
-    else:
-        # re-raise the 1-epoch failure with its actionable message when
-        # even a single epoch is out of the envelope
-        _check_budget(plan, tparams, cparams, n, nv, d, n_cond,
-                      batchsize, 1, weighted=weights is not None,
-                      track_best=track_best, guarded=skip_nonfinite)
+    elif _fits(1):
         lo_e, hi_e = 1, epochs
         while lo_e < hi_e:  # largest epoch count that fits
             mid = (lo_e + hi_e + 1) // 2
@@ -690,6 +686,14 @@ def train_fused(
                 hi_e = mid - 1
         n_chunks = -(-epochs // lo_e)
         chunk = -(-epochs // n_chunks)  # balanced; ceil(E/ceil(E/m)) <= m
+    else:
+        # a single epoch is out of the RESIDENT envelope (dataset rows
+        # too large for VMEM-resident slab/evals) → the STREAMING kernel
+        # (per-batch HBM blocks, O(1)-in-rows VMEM); raises
+        # UnsupportedFusedTrain itself if the model is out of ITS
+        # envelope
+        stream = True
+        chunk = 0
 
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
@@ -714,7 +718,81 @@ def train_fused(
     theta_v = jnp.asarray(th_valid) if n_cond else None
     x_dev, xv_dev = jnp.asarray(x_train), jnp.asarray(x_valid)
     n_batches = -(-n // batchsize)
-    if chunk == epochs:
+    flow.fused_kernel_mode = ("stream" if stream else
+                              "resident" if chunk == epochs else
+                              "resident-chunked")
+    if stream:
+        from ..ops.pallas_train_stream import (
+            eval_snapshots,
+            run_fused_train_stream,
+            stream_vmem_bytes,
+        )
+
+        weighted = weights is not None
+        # HBM chunking: per-epoch gathered slab + per-epoch snapshots
+        slab_pe = (n_batches * batchsize
+                   * (d + n_cond + (1 if weighted else 0)) * 4)
+        snap_pe = sum(int(np.prod(p.shape)) for p in tparams) * 4
+        e_max = max(1, int(_HBM_SLAB_BUDGET // (slab_pe + snap_pe)))
+        n_chunks = -(-epochs // e_max)
+        chunk = -(-epochs // n_chunks)
+        need = stream_vmem_bytes(plan, tparams, cparams, batchsize, d,
+                                 n_cond, weighted=weighted, epochs=chunk,
+                                 guarded=skip_nonfinite)
+        if need > _BUDGET:
+            raise UnsupportedFusedTrain(
+                f"streaming working set ~{need / 1e6:.1f} MB exceeds "
+                f"the VMEM budget ({_BUDGET / 1e6:.0f} MB) — model too "
+                "large for the streaming kernel; use train()")
+        if verbose:
+            print(f"[fused-train STREAMING kernel: {epochs} epochs in "
+                  f"{n_chunks} chunks of <= {chunk} "
+                  f"({n} rows, batch {batchsize})]")
+        keys_all = jax.random.split(key, epochs)
+        p_new, mu_new, nu_new = list(tparams), mu, nu
+        tls_l, vls_l, skips_l = [], [], []
+        best = None
+        best_vl = np.inf
+        count = count0
+        done = 0
+        wt_dev = jnp.asarray(w_train) if weighted else None
+        wv_dev = jnp.asarray(w_valid) if weighted else None
+        while done < epochs:
+            e_c = min(chunk, epochs - done)
+            p_new, mu_new, nu_new, snaps, skips_c = run_fused_train_stream(
+                plan, tcounts, p_new, masks, mask_slots, cparams,
+                mu_new, nu_new, x_dev, theta, key,
+                epochs=e_c, batchsize=batchsize, shuffle=shuffle,
+                n_train=n, count0=count, lr=lr, b1=b1, b2=b2, eps=eps,
+                w=w_train, guard_nonfinite=skip_nonfinite,
+                epoch_keys=keys_all[done:done + e_c])
+            p_new, mu_new, nu_new = (list(p_new), list(mu_new),
+                                     list(nu_new))
+            tls_c = np.asarray(eval_snapshots(
+                list(snaps), list(cparams), x_dev, theta, wt_dev,
+                plan=plan, tcounts=tuple(tcounts)))
+            vls_c = np.asarray(eval_snapshots(
+                list(snaps), list(cparams), xv_dev, theta_v, wv_dev,
+                plan=plan, tcounts=tuple(tcounts)))
+            tls_l.append(tls_c)
+            vls_l.append(vls_c)
+            c_skips = 0
+            if skip_nonfinite:
+                sk = np.asarray(skips_c)
+                skips_l.append(sk)
+                c_skips = int(sk.sum())
+            count += e_c * n_batches - c_skips
+            if track_best:
+                arg = int(np.argmin(vls_c))
+                c_best = float(vls_c[arg])
+                if best is None or c_best < best_vl:
+                    best = [s[arg] for s in snaps]
+                    best_vl = c_best
+            done += e_c
+        tls = np.concatenate(tls_l)
+        vls = np.concatenate(vls_l)
+        skips = np.concatenate(skips_l) if skip_nonfinite else None
+    elif chunk == epochs:
         p_new, mu_new, nu_new, tls, vls, best, skips = run_fused_train(
             plan, tcounts, tparams, masks, mask_slots, cparams, mu, nu,
             x_dev, theta, xv_dev, theta_v, key,

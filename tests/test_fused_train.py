@@ -229,11 +229,11 @@ def test_fold_unfold_roundtrip(cond_data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_hbm_slab_guard(cond_data):
-    """Since r5 long runs CHUNK through the kernel instead of being
-    rejected; the slab guard only rejects a config whose SINGLE-epoch
-    working set exceeds the budget (exercised by shrinking the budget
-    below one epoch's slab — nothing may be materialized first)."""
+def test_vmem_budget_guard(cond_data):
+    """Since r5, long runs chunk and large datasets stream — the only
+    remaining envelope rejection is a MODEL whose streaming working set
+    exceeds VMEM (exercised by shrinking the budget below it; nothing
+    may be materialized first)."""
     import densityflows_tpu.models.fused_train as ft
 
     data, x = cond_data
@@ -242,14 +242,14 @@ def test_hbm_slab_guard(cond_data):
                           hidden_dim_s=8, hidden_dim_t=8),
         df.normalization_layer(x, -1.0, 1.0),
     ), data)
-    orig = ft._HBM_SLAB_BUDGET
+    orig = ft._BUDGET
     try:
-        ft._HBM_SLAB_BUDGET = 64  # below any single epoch's slab
-        with pytest.raises(UnsupportedFusedTrain, match="slab"):
+        ft._BUDGET = 1024  # below any real model's working set
+        with pytest.raises(UnsupportedFusedTrain, match="VMEM"):
             train_fused(flow, data, epochs=3, verbose=False,
                         key=jax.random.key(1))
     finally:
-        ft._HBM_SLAB_BUDGET = orig
+        ft._BUDGET = orig
 
 
 def test_chunked_kernel_bit_identical(cond_data):
@@ -846,3 +846,111 @@ def test_surface_parity_gate_interpret():
 
     with pytest.raises(RuntimeError, match="epoch-1"):
         bench.fused_surface_parity_gate(jax, SkewedDF(), epochs=4)
+
+
+# -- streaming kernel (per-batch HBM blocks; r5) ------------------------------
+
+
+def _force_stream(monkeypatch):
+    """Make the resident envelope always fail so train_fused routes to
+    the streaming kernel at test-sized configs."""
+    import densityflows_tpu.models.fused_train as ft
+
+    def always_raise(*a, **k):
+        raise ft.UnsupportedFusedTrain("probe: force stream")
+
+    monkeypatch.setattr(ft, "_check_budget", always_raise)
+    return ft
+
+
+def test_stream_kernel_matches_jnp(cond_data, monkeypatch):
+    """The streaming kernel (per-batch blocks, out-of-kernel snapshot
+    evals) == the jnp program: histories, params, Adam count — with
+    importance weights and a joint/clamped layer riding along."""
+    ft = _force_stream(monkeypatch)
+    data, x = cond_data
+    rng = np.random.default_rng(7)
+    w = rng.uniform(0.2, 3.0, size=data.x.shape[0]).astype(np.float32)
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.coupling_layer(data, [2, 3, 4], key=jax.random.key(1),
+                              joint_conditioner=True, hidden_dim_s=8,
+                              hidden_dim_t=8, max_log_scale=3.0),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    f_j = build()
+    os_j = df.train(f_j, data, epochs=5, batchsize=32, verbose=False,
+                    key=jax.random.key(5), weights=w, fused_kernel=False)
+    f_s = build()
+    os_s = ft.train_fused(f_s, data, epochs=5, batchsize=32,
+                          verbose=False, key=jax.random.key(5), weights=w)
+    assert f_s.fused_kernel_mode == "stream"
+    np.testing.assert_allclose(f_j.train_loss, f_s.train_loss, atol=ATOL)
+    np.testing.assert_allclose(f_j.valid_loss, f_s.valid_loss, atol=ATOL)
+    assert int(os_j[0].count) == int(os_s[0].count)
+    for a, b in zip(jax.tree_util.tree_leaves(f_j.model),
+                    jax.tree_util.tree_leaves(f_s.model)):
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+def test_stream_kernel_guard_and_chunks(monkeypatch):
+    """Streaming + non-finite guard + multi-chunk epochs: skip counts,
+    Adam count carry, and params match the jnp skip_nonfinite program."""
+    import bench
+
+    ft = _force_stream(monkeypatch)
+    data, build = bench.guard_parity_case(jax, df)
+    f_j, f_s = build(), build()
+    os_j = df.train(f_j, data, epochs=6, batchsize=16, verbose=False,
+                    key=jax.random.key(3), skip_nonfinite=True,
+                    fused_kernel=False)
+    # 2 epochs per chunk: slab+snap budget shrunk under one chunk of 3
+    nb = -(-len(data.partition.training) // 16)
+    slab_pe = nb * 16 * 4 * 4
+    from densityflows_tpu.models.fused_train import chain_train_fold
+    tparams = chain_train_fold(f_s.model)[2]
+    snap_pe = sum(int(np.prod(p.shape)) for p in tparams) * 4
+    monkeypatch.setattr(ft, "_HBM_SLAB_BUDGET", 2 * (slab_pe + snap_pe))
+    os_s = ft.train_fused(f_s, data, epochs=6, batchsize=16,
+                          verbose=False, key=jax.random.key(3),
+                          skip_nonfinite=True)
+    assert f_s.fused_kernel_mode == "stream"
+    assert f_j.skipped_updates == f_s.skipped_updates
+    assert sum(f_s.skipped_updates) > 0
+    assert int(os_j[0].count) == int(os_s[0].count)
+    for a, b in zip(jax.tree_util.tree_leaves(f_j.model),
+                    jax.tree_util.tree_leaves(f_s.model)):
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+def test_stream_kernel_track_best(cond_data, monkeypatch):
+    """Streaming track_best: the selected snapshot equals the jnp
+    program's best model, across chunk boundaries."""
+    ft = _force_stream(monkeypatch)
+    data, x = cond_data
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    f_j, f_s = build(), build()
+    _, best_j = df.train(f_j, data, epochs=6, batchsize=32, verbose=False,
+                         key=jax.random.key(4), _track_best=True,
+                         fused_kernel=False)
+    _, best_s = ft.train_fused(f_s, data, epochs=6, batchsize=32,
+                               verbose=False, key=jax.random.key(4),
+                               track_best=True)
+    assert np.argmin(f_j.valid_loss) == np.argmin(f_s.valid_loss)
+    for a, b in zip(jax.tree_util.tree_leaves(best_j),
+                    jax.tree_util.tree_leaves(best_s)):
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=ATOL)
