@@ -177,3 +177,53 @@ def test_fused_in_train_step():
     df.train(flow, data, epochs=2, verbose=False, key=jax.random.key(3))
     assert len(flow.train_loss) == 2
     assert np.all(np.isfinite(flow.train_loss))
+
+
+def test_fused_grads_kernel_matches_jax_grad():
+    """ops/pallas_step.run_fused_grads (the shard_map-composable
+    grads-only step kernel, r5) == jax.value_and_grad of
+    masked_nll_loss through the fold/unfold embedding — including
+    batch tiling, padded-row masks, and a clamped joint layer."""
+    import jax.numpy as jnp
+
+    import densityflows_tpu as df
+    from densityflows_tpu.models.fused_train import chain_train_fold
+    from densityflows_tpu.ops.pallas_step import run_fused_grads
+    from densityflows_tpu.train import masked_nll_loss
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(100, 5)).astype(np.float32)
+    th = rng.uniform(-1, 2, size=(100, 1)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        df.coupling_layer(data, [2, 3, 4], key=jax.random.key(1),
+                          joint_conditioner=True, hidden_dim_s=8,
+                          hidden_dim_t=8, max_log_scale=3.0),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    flow = df.Flow(chain, data)
+    xb, thb = data.normalized_training_data(flow.metadata)
+    xb, thb = jnp.asarray(xb[:64]), jnp.asarray(thb[:64])
+    mask = jnp.concatenate([jnp.ones(50), jnp.zeros(14)]).astype(jnp.float32)
+
+    (plan, tcounts, tparams, masks, mask_slots, cparams, _fs,
+     unfold) = chain_train_fold(chain)
+    loss_k, grads_k = run_fused_grads(
+        xb, thb, mask, tuple(tparams), tuple(masks), tuple(cparams),
+        plan=plan, tcounts=tuple(tcounts), mask_slots=tuple(mask_slots),
+        tile=32)
+    loss_j, grads_j = jax.value_and_grad(masked_nll_loss)(
+        chain, flow.base, xb, thb, mask)
+    assert abs(float(loss_k) - float(loss_j)) < 1e-5
+
+    def zero_tpl():
+        return jax.tree_util.tree_map(jnp.zeros_like, chain)
+
+    g_unfold = unfold(list(grads_k), zero_tpl())
+    for a, b in zip(jax.tree_util.tree_leaves(g_unfold),
+                    jax.tree_util.tree_leaves(grads_j)):
+        if a.size:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
