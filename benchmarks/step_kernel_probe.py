@@ -23,9 +23,12 @@ import time
 import numpy as np
 
 CONFIGS = [
-    dict(name="ref", d=5, n=1, hidden=16, batch=64),
-    dict(name="med", d=16, n=4, hidden=64, batch=1024),
-    dict(name="wide", d=32, n=8, hidden=256, batch=8192),
+    # m2 sized so gap x per-step time >= ~150 ms of device signal (the
+    # two-point sizing rule; a 56-step gap at ~40 us/step once measured
+    # negative rates through tunnel jitter)
+    dict(name="ref", d=5, n=1, hidden=16, batch=64, m2=4096),
+    dict(name="med", d=16, n=4, hidden=64, batch=1024, m2=2048),
+    dict(name="wide", d=32, n=8, hidden=256, batch=8192, m2=256),
 ]
 
 
@@ -37,7 +40,7 @@ def _timed(fn, *a):
     return time.perf_counter() - t0
 
 
-def measure(cfg, m1=8, m2=64, reps=5):
+def measure(cfg, m1=8, m2=None, reps=5):
     import jax
     import jax.numpy as jnp
     import optax
@@ -48,6 +51,8 @@ def measure(cfg, m1=8, m2=64, reps=5):
     from densityflows_tpu.train import make_train_step
 
     d, n_cond, hidden, batch = cfg["d"], cfg["n"], cfg["hidden"], cfg["batch"]
+    if m2 is None:
+        m2 = cfg.get("m2", 2048)
     rng = np.random.default_rng(0)
     x_ref = rng.normal(size=(256, d)).astype(np.float32)
     ks = jax.random.split(jax.random.key(0), 3)
@@ -114,20 +119,29 @@ def measure(cfg, m1=8, m2=64, reps=5):
         "kernel": (make_kernel_scan(m1), make_kernel_scan(m2),
                    (list(tparams), optimizer.init(list(tparams)))),
     }
-    for lo, hi, a in progs.values():  # compile
-        _timed(lo, *a), _timed(hi, *a)
-
-    us = {name: [] for name in progs}
-    for _ in range(reps):
-        for name, (lo, hi, a) in progs.items():  # interleaved
-            t_lo = _timed(lo, *a)
-            t_hi = _timed(hi, *a)
-            us[name].append((t_hi - t_lo) / (m2 - m1) * 1e6)
-
     out = {"config": cfg["name"], **{k: cfg[k] for k in
                                      ("d", "n", "hidden", "batch")}}
-    for name, v in us.items():
-        out[f"{name}_us_per_step"] = round(float(np.median(v)), 2)
+    for _ in range(3):
+        for lo, hi, a in progs.values():  # compile
+            _timed(lo, *a), _timed(hi, *a)
+        us = {name: [] for name in progs}
+        for _ in range(reps):
+            for name, (lo, hi, a) in progs.items():  # interleaved
+                t_lo = _timed(lo, *a)
+                t_hi = _timed(hi, *a)
+                us[name].append((t_hi - t_lo) / (m2 - m1) * 1e6)
+        meds = {name: float(np.median(v)) for name, v in us.items()}
+        if all(m > 0 for m in meds.values()):
+            break
+        m1, m2 = m1, m1 + 2 * (m2 - m1)  # jitter-dominated: widen
+        progs = {
+            "jnp": (make_jnp_scan(m1), make_jnp_scan(m2),
+                    (chain, optimizer.init(chain))),
+            "kernel": (make_kernel_scan(m1), make_kernel_scan(m2),
+                       (list(tparams), optimizer.init(list(tparams)))),
+        }
+    for name, med in meds.items():
+        out[f"{name}_us_per_step"] = round(med, 2)
     out["kernel_speedup"] = round(
         out["jnp_us_per_step"] / out["kernel_us_per_step"], 2)
     return out

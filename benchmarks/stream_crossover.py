@@ -30,7 +30,7 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
-def measure_rows(n_rows, lo=2, hi=12, reps=5):
+def measure_rows(n_rows, reps=5, gap_jnp=None):
     import jax
     import jax.numpy as jnp
 
@@ -74,14 +74,13 @@ def measure_rows(n_rows, lo=2, hi=12, reps=5):
     key = jax.random.key(2)
     opt = _default_adam()
 
-    # --- jnp raw program ----------------------------------------------------
-    progs = {e: make_train_program(opt, batchsize, e) for e in (lo, hi)}
-
+    # --- jnp raw program (make_train_program caches per epoch count) -------
     def run_jnp(e):
+        prog = make_train_program(opt, batchsize, e)
         model = jax.tree_util.tree_map(jnp.array, flow.model)
         opt_state = opt.init(model)
         jax.block_until_ready((model, opt_state))
-        return _timed(lambda: progs[e](
+        return _timed(lambda: prog(
             model, opt_state, flow.base, x_t, th_t, x_v, th_v, key)[2])
 
     # --- folded kernels -----------------------------------------------------
@@ -122,26 +121,46 @@ def measure_rows(n_rows, lo=2, hi=12, reps=5):
 
         return _timed(go)
 
+    # two-point gap sizing (CLAUDE.md rule: gap × per-epoch time must be
+    # ≳10× per-call jitter, ~10-50 ms on bad days): target ≥ ~250 ms of
+    # device-time signal per gap, estimated from the batch count — and
+    # the kernels are ~10× faster per epoch, so their gap is 8× wider
+    n_batches = -(-n_train // batchsize)
+    if gap_jnp is None:
+        est_jnp = n_batches * 40e-6  # ~40 µs per jnp batch step
+        gap_jnp = max(4, int(0.25 / est_jnp))
+    gap_kernel = 8 * gap_jnp
+    gaps = {"jnp": (2, 2 + gap_jnp), "stream": (2, 2 + gap_kernel),
+            "resident": (2, 2 + gap_kernel)}
+
     paths = {"jnp": run_jnp, "stream": run_stream}
-    if resident_ok(hi):
+    if resident_ok(gaps["resident"][1]):
         paths["resident"] = run_resident
 
-    for f in paths.values():  # compile LO and HI
-        f(lo), f(hi)
-
-    us_per_epoch = {name: [] for name in paths}
-    for _ in range(reps):
-        for name, f in paths.items():  # interleaved
-            t_lo = f(lo)
-            t_hi = f(hi)
-            us_per_epoch[name].append((t_hi - t_lo) / (hi - lo) * 1e6)
-
-    out = {"rows": n_rows, "batch": batchsize}
-    for name, v in us_per_epoch.items():
-        med = float(np.median(v))
+    out = {"rows": n_rows, "batch": batchsize, "n_batches": n_batches}
+    for _ in range(3):
+        for name, f in paths.items():  # compile LO and HI
+            lo_e, hi_e = gaps[name]
+            f(lo_e), f(hi_e)
+        us_per_epoch = {name: [] for name in paths}
+        for _ in range(reps):
+            for name, f in paths.items():  # interleaved
+                lo_e, hi_e = gaps[name]
+                t_lo = f(lo_e)
+                t_hi = f(hi_e)
+                us_per_epoch[name].append(
+                    (t_hi - t_lo) / (hi_e - lo_e) * 1e6)
+        meds = {name: float(np.median(v))
+                for name, v in us_per_epoch.items()}
+        if all(m > 0 for m in meds.values()):
+            break
+        # jitter-dominated: double every gap and retry
+        gaps = {name: (lo_e, lo_e + 2 * (hi_e - lo_e))
+                for name, (lo_e, hi_e) in gaps.items()}
+    for name, med in meds.items():
         out[f"{name}_us_per_epoch"] = round(med, 1)
         out[f"{name}_samples_per_sec"] = round(n_train / (med / 1e6), 1)
-    if "stream" in out and "jnp_us_per_epoch" in out:
+    if "stream_us_per_epoch" in out and "jnp_us_per_epoch" in out:
         out["stream_speedup_vs_jnp"] = round(
             out["jnp_us_per_epoch"] / out["stream_us_per_epoch"], 2)
     return out
