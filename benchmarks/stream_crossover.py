@@ -97,21 +97,32 @@ def measure_rows(n_rows, reps=5, gap_jnp=None):
         except UnsupportedFusedTrain:
             return False
 
-    def run_resident(e):
-        def go():
+    # each timed call must be ONE program dispatch (the r4 raw-program
+    # discipline): gather + kernel (+ snapshot evals for the stream
+    # path) are all traced into a single jitted wrapper — an eager
+    # multi-dispatch call buries the Δepochs signal under the tunnel's
+    # per-dispatch constant (~28 ms in slow mode; measured med ≈ 0)
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def resident_prog(e):
+        @jax.jit
+        def prog(tp, m0, v0):
             out = run_fused_train(
-                plan, tcounts, list(tparams), masks, mask_slots, cparams,
-                list(mu0), list(nu0), x_t, th_t, x_v, th_v, key,
+                plan, tcounts, list(tp), masks, mask_slots, cparams,
+                list(m0), list(v0), x_t, th_t, x_v, th_v, key,
                 epochs=e, batchsize=batchsize)
             return out[3]
 
-        return _timed(go)
+        return prog
 
-    def run_stream(e):
-        def go():
+    @functools.lru_cache(maxsize=None)
+    def stream_prog(e):
+        @jax.jit
+        def prog(tp, m0, v0):
             p, m, v, snaps, _ = run_fused_train_stream(
-                plan, tcounts, list(tparams), masks, mask_slots, cparams,
-                list(mu0), list(nu0), x_t, th_t, key,
+                plan, tcounts, list(tp), masks, mask_slots, cparams,
+                list(m0), list(v0), x_t, th_t, key,
                 epochs=e, batchsize=batchsize)
             tl = eval_snapshots(list(snaps), list(cparams), x_t, th_t,
                                 None, plan=plan, tcounts=tuple(tcounts))
@@ -119,7 +130,15 @@ def measure_rows(n_rows, reps=5, gap_jnp=None):
                                 None, plan=plan, tcounts=tuple(tcounts))
             return tl, vl
 
-        return _timed(go)
+        return prog
+
+    args3 = (tuple(tparams), tuple(mu0), tuple(nu0))
+
+    def run_resident(e):
+        return _timed(lambda: resident_prog(e)(*args3))
+
+    def run_stream(e):
+        return _timed(lambda: stream_prog(e)(*args3))
 
     # two-point gap sizing (CLAUDE.md rule: gap × per-epoch time must be
     # ≳10× per-call jitter, ~10-50 ms on bad days): target ≥ ~250 ms of
@@ -160,7 +179,7 @@ def measure_rows(n_rows, reps=5, gap_jnp=None):
     for name, med in meds.items():
         out[f"{name}_us_per_epoch"] = round(med, 1)
         out[f"{name}_samples_per_sec"] = round(n_train / (med / 1e6), 1)
-    if "stream_us_per_epoch" in out and "jnp_us_per_epoch" in out:
+    if out.get("stream_us_per_epoch", 0) > 0 and "jnp_us_per_epoch" in out:
         out["stream_speedup_vs_jnp"] = round(
             out["jnp_us_per_epoch"] / out["stream_us_per_epoch"], 2)
     return out

@@ -889,3 +889,47 @@ def train_fused(
     if track_best:
         return out_state, unfold(list(best))
     return out_state
+
+
+# -- mesh fused-step envelope (r5) -------------------------------------------
+
+# measured crossover (benchmarks/step_kernel_probe.py, v5e): the
+# grads-only step kernel beats the jnp step 3.4x at d5/h16/b64 and 1.6x
+# at d16/h64/b1024, and LOSES 0.64x at d32/h256/b8192 — route only where
+# the step is launch-bound
+_STEP_MAX_WIDTH = 64
+_STEP_MAX_D = 16
+_STEP_MAX_LOCAL_BATCH = 1024
+
+
+def fused_step_mesh_reason(flow, batchsize, mesh):
+    """``None`` when the DP fused-step program applies, else the reason
+    it does not (surfaced through ``flow.fused_decline_reason``)."""
+    if not isinstance(flow.base, StandardNormal):
+        return "non-StandardNormal base"
+    if jax.process_count() > 1:
+        return "multi-process mesh (fused-step DP is single-process for now)"
+    if any(sz > 1 for name, sz in dict(mesh.shape).items()
+           if name != "data"):
+        return "non-DP mesh axes (fused-step DP shards 'data' only)"
+    ndev = int(dict(mesh.shape).get("data", 1))
+    if batchsize % ndev:
+        return (f"batchsize {batchsize} not divisible by the data axis "
+                f"({ndev})")
+    if batchsize // ndev > _STEP_MAX_LOCAL_BATCH:
+        return (f"per-device batch {batchsize // ndev} > "
+                f"{_STEP_MAX_LOCAL_BATCH} (XLA wins there; "
+                "benchmarks/step_kernel_probe.py)")
+    if flow.metadata.d > _STEP_MAX_D:
+        return (f"d={flow.metadata.d} > {_STEP_MAX_D} (XLA wins; "
+                "benchmarks/step_kernel_probe.py)")
+    try:
+        _plan, _tc, tparams, *_rest = chain_train_fold(flow.model)
+    except UnsupportedFusedTrain as e:
+        return str(e)
+    width = max([int(p.shape[-1]) for p in tparams
+                 if getattr(p, "ndim", 0) == 2] + [1])
+    if width > _STEP_MAX_WIDTH:
+        return (f"conditioner width {width} > {_STEP_MAX_WIDTH} (XLA "
+                "wins; benchmarks/step_kernel_probe.py)")
+    return None

@@ -42,7 +42,7 @@ from .pallas_train import (
     _plan_fwd,
 )
 
-__all__ = ["run_fused_grads", "grads_vmem_bytes"]
+__all__ = ["run_fused_grads", "grads_vmem_bytes", "folded_nll"]
 
 
 def _step_kernel(plan, offsets, mask_slots, cfg, *refs):
@@ -128,15 +128,17 @@ def grads_vmem_bytes(plan, tparams, cparams, tile, d, n) -> int:
     jax.jit,
     static_argnames=("plan", "tcounts", "mask_slots", "tile", "interpret"))
 def run_fused_grads(x, theta, mask, tparams, masks, cparams, *, plan,
-                    tcounts, mask_slots, tile=512, interpret=None):
+                    tcounts, mask_slots, tile=512, interpret=None,
+                    denom=None):
     """Masked-NLL loss and folded-parameter gradients for ONE batch.
 
     ``mask``: per-row weights (zeros for padded rows; importance weights
     fold in exactly as in ``train.masked_nll_loss``). Returns
     ``(loss, grads)`` with ``grads`` aligned to the folded ``tparams``.
     Jit-traceable, so it composes with ``lax.scan`` epoch loops and with
-    ``shard_map`` (pass the LOCAL shard and a GLOBAL ``denom``-consistent
-    mask — the caller psums the grads).
+    ``shard_map``: each device passes its LOCAL shard plus the GLOBAL
+    ``denom`` (a ``lax.psum`` of Σmask), so the psummed loss/grads equal
+    the single-device values exactly.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -150,7 +152,9 @@ def run_fused_grads(x, theta, mask, tparams, masks, cparams, *, plan,
     n_c = sum(3 for op in plan if op[0] == "affine")
     n_m = len(masks)
 
-    denom = jnp.maximum(jnp.sum(mask), 1e-12).reshape(1, 1)
+    if denom is None:
+        denom = jnp.sum(mask)
+    denom = jnp.maximum(denom, 1e-12).reshape(1, 1)
 
     def pad_rows(a):
         if pad:
@@ -208,3 +212,32 @@ def run_fused_grads(x, theta, mask, tparams, masks, cparams, *, plan,
         interpret=interpret,
     )(*args)
     return out[0][0, 0], list(out[1:])
+
+
+def folded_nll(tparams, cparams, x, theta, mask, *, plan, tcounts):
+    """Masked NLL on FOLDED params — pure jnp (no kernel), jit-traceable.
+
+    The epoch-bookkeeping eval for programs that keep params folded
+    (the mesh fused-step program): same math as train.masked_nll_loss,
+    reusing the `_plan_fwd` inverse fold on arrays.
+    """
+    offsets, n_t = _offsets(plan, tcounts)
+    t_refs, c_refs = [], []
+    ci = 0
+    for op_i, op in enumerate(plan):
+        if _op_is_trainable(op):
+            o = offsets[op_i]
+            cnt = offsets[op_i + 1] - o if op_i + 1 < len(offsets) \
+                else n_t - o
+            t_refs.append(tuple(tparams[o:o + cnt]))
+            c_refs.append(())
+        else:
+            t_refs.append(())
+            c_refs.append(tuple(cparams[ci:ci + 3]))
+            ci += 3
+    d = x.shape[-1]
+    z, ldj, _ = _plan_fwd(plan, t_refs, c_refs, x, theta, False)
+    lp = -0.5 * jnp.sum(z * z, axis=-1, keepdims=True) \
+        - 0.5 * d * _LOG_2PI + ldj
+    m = mask.reshape(-1, 1)
+    return -jnp.sum(lp * m) / jnp.maximum(jnp.sum(m), 1e-12)

@@ -394,6 +394,249 @@ def make_train_program(
     return train_program
 
 
+_STEP_PROGRAM_CACHE: dict = {}
+
+
+def make_fused_step_mesh_program(
+    mesh, plan, tcounts, masks, mask_slots, cparams, batchsize, epochs,
+    shuffle=True, n_train=None, n_valid=None, *, lr=1e-3, b1=0.9,
+    b2=0.999, eps=1e-8, weighted=False, track_best=False,
+    guard_nonfinite=False, interpret=None,
+):
+    """Data-parallel train program on the grads-only step kernel (r5).
+
+    Per batch: ``shard_map`` runs ``ops/pallas_step.run_fused_grads`` on
+    each device's batch shard (global denominator psummed first, so the
+    psummed loss/grads equal the single-device values exactly), the
+    gradient ``psum`` rides ICI, and the Adam update runs in XLA on the
+    replicated FOLDED parameter lists. Epoch bookkeeping evals use the
+    folded jnp fold (``folded_nll``). Shuffle/batch semantics match
+    ``make_train_program`` (same keys ⇒ same batch composition).
+
+    Measured on a v5e (benchmarks/step_kernel_probe.py): the kernel step
+    is 3.4× the jnp step at the reference config and 1.6× at d16/h64/
+    b1024; XLA wins at the wide config (0.64×) — callers route only
+    inside the envelope (``models.fused_train.fused_step_mesh_reason``).
+
+    Returns ``fn(tparams, opt_state, x, theta[, w], x_valid,
+    theta_valid[, w_valid], key) -> (tparams, opt_state, tls, vls
+    [, best_tparams][, skips])`` — the same output contract as
+    ``make_train_program`` but on folded lists.
+    """
+    import optax
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .ops.pallas_step import folded_nll, run_fused_grads
+
+    cache_key = (id(mesh), plan, tuple(tcounts), tuple(mask_slots),
+                 batchsize, epochs, shuffle, n_train, n_valid, lr, b1,
+                 b2, eps, weighted, track_best, guard_nonfinite,
+                 interpret)
+    cached = _STEP_PROGRAM_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
+    tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+    batch_sharding = NamedSharding(mesh, P("data", None))
+    if interpret is None:
+        # resolve from the REAL device platform (not default_backend,
+        # which tests monkeypatch to exercise routing on the CPU rig)
+        interpret = jax.devices()[0].platform != "tpu"
+
+    def local_grads(xb, thb, mb, tp):
+        dglob = jax.lax.psum(jnp.sum(mb), "data")
+        loss, grads = run_fused_grads(
+            xb, thb, mb, tuple(tp), tuple(masks), tuple(cparams),
+            plan=plan, tcounts=tuple(tcounts),
+            mask_slots=tuple(mask_slots), tile=min(512, xb.shape[0]),
+            interpret=interpret, denom=dglob)
+        return (jax.lax.psum(loss, "data"),
+                tuple(jax.lax.psum(g, "data") for g in grads))
+
+    sharded = jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # replication through pallas_call is opaque
+    )
+
+    def body(tp, opt_state, x, theta, w, x_valid, theta_valid, w_valid,
+             key):
+        n = x.shape[0] if n_train is None else n_train
+        nv = x_valid.shape[0] if n_valid is None else n_valid
+        n_batches = -(-n // batchsize)
+        n_pad = n_batches * batchsize
+        pad_mask = _row_mask(n_pad, n).reshape(n_batches, batchsize)
+        train_row_mask = _row_mask(x.shape[0], n)
+        valid_row_mask = _row_mask(x_valid.shape[0], nv)
+        if weighted:
+            train_row_mask = train_row_mask * w
+            valid_row_mask = valid_row_mask * w_valid
+
+        def epoch_body(carry, ekey):
+            tp, opt_state, best_vl, best_tp = carry
+            if shuffle:
+                perm = jax.random.permutation(ekey, n).astype(jnp.int32)
+            else:
+                perm = jax.lax.broadcasted_iota(
+                    jnp.int32, (n, 1), 0)[:, 0]
+            idx = jnp.zeros((n_pad,), jnp.int32).at[:n].set(perm)
+            idx = idx.reshape(n_batches, batchsize)
+
+            def batch_body(carry, im):
+                tp, opt_state = carry
+                i, m = im
+                if weighted:
+                    m = m * w[i]
+                xb = jax.lax.with_sharding_constraint(
+                    x[i], batch_sharding)
+                thb = jax.lax.with_sharding_constraint(
+                    theta[i], batch_sharding)
+                loss, grads = sharded(xb, thb, m, tuple(tp))
+                if guard_nonfinite:
+                    ok = _all_finite(loss, grads)
+                    upd, new_opt = tx.update(list(grads), opt_state,
+                                             list(tp))
+                    new_tp = tuple(p + u for p, u in zip(tp, upd))
+                    tp = _tree_select(ok, new_tp, tp)
+                    opt_state = _tree_select(ok, new_opt, opt_state)
+                    skip = 1 - ok.astype(jnp.int32)
+                else:
+                    upd, opt_state = tx.update(list(grads), opt_state,
+                                               list(tp))
+                    tp = tuple(p + u for p, u in zip(tp, upd))
+                    skip = jnp.int32(0)
+                return (tp, opt_state), skip
+
+            (tp, opt_state), skips = jax.lax.scan(
+                batch_body, (tp, opt_state), (idx, pad_mask))
+            tl = folded_nll(list(tp), list(cparams), x, theta,
+                            train_row_mask, plan=plan,
+                            tcounts=tuple(tcounts))
+            vl = folded_nll(list(tp), list(cparams), x_valid,
+                            theta_valid, valid_row_mask, plan=plan,
+                            tcounts=tuple(tcounts))
+            if track_best:
+                better = vl < best_vl
+                best_vl = jnp.where(better, vl, best_vl)
+                best_tp = _tree_select(better, tp, best_tp)
+            return (tp, opt_state, best_vl, best_tp), (tl, vl,
+                                                       jnp.sum(skips))
+
+        keys = jax.random.split(key, epochs)
+        best0 = tuple(jnp.asarray(p) for p in tp) if track_best else 0
+        (tp, opt_state, _, best_tp), (tls, vls, skips) = jax.lax.scan(
+            epoch_body, (tp, opt_state, jnp.float32(jnp.inf), best0),
+            keys)
+        out = [tp, opt_state, tls, vls]
+        if track_best:
+            out.append(best_tp)
+        if guard_nonfinite:
+            out.append(skips)
+        return tuple(out)
+
+    if weighted:
+        def program(tp, opt_state, x, theta, w, x_valid, theta_valid,
+                    w_valid, key):
+            return body(tuple(tp), opt_state, x, theta, w, x_valid,
+                        theta_valid, w_valid, key)
+    else:
+        def program(tp, opt_state, x, theta, x_valid, theta_valid, key):
+            return body(tuple(tp), opt_state, x, theta, None, x_valid,
+                        theta_valid, None, key)
+
+    program = jax.jit(program, donate_argnums=(0, 1))
+    _STEP_PROGRAM_CACHE[cache_key] = program
+    return program
+
+
+def _run_fused_step_mesh(flow, mesh, batchsize, epochs, shuffle, key,
+                         xt, tht, xv, thv, wt, wv, n_train, n_valid,
+                         hp, opt_state, track_best, guard, verbose,
+                         metrics_log, chain_train_fold):
+    """Run the mesh DP fused-step program and translate in/out of the
+    folded parameter space. Returns ``NotImplemented`` when the passed
+    ``opt_state`` cannot be folded (opaque optimizer state) so the
+    caller falls through to the GSPMD jnp program."""
+    import time as _time
+
+    import optax
+
+    (plan, tcounts, tparams, masksL, mask_slots, cparams, fold_state,
+     unfold) = chain_train_fold(flow.model)
+    tx = optax.adam(hp["lr"], b1=hp["b1"], b2=hp["b2"], eps=hp["eps"])
+    folded_state = tx.init(list(tparams))
+    if opt_state is not None:
+        adam = opt_state[0]
+        if not hasattr(adam, "mu") or not hasattr(adam, "nu"):
+            return NotImplemented
+        folded_state = (
+            folded_state[0]._replace(
+                count=jnp.asarray(adam.count, jnp.int32),
+                mu=fold_state(adam.mu),
+                nu=fold_state(adam.nu),
+            ),
+        ) + tuple(folded_state[1:])
+
+    prog = make_fused_step_mesh_program(
+        mesh, plan, tuple(tcounts), tuple(masksL), tuple(mask_slots),
+        tuple(cparams), batchsize, epochs, shuffle,
+        n_train=n_train, n_valid=n_valid, lr=hp["lr"], b1=hp["b1"],
+        b2=hp["b2"], eps=hp["eps"], weighted=wt is not None,
+        track_best=track_best, guard_nonfinite=guard)
+
+    t0 = _time.perf_counter()
+    if wt is not None:
+        out = prog(tuple(tparams), folded_state, xt, tht, wt, xv, thv,
+                   wv, key)
+    else:
+        out = prog(tuple(tparams), folded_state, xt, tht, xv, thv, key)
+    tp_new, f_state, tls, vls = out[:4]
+    rest = list(out[4:])
+    best_tp = rest.pop(0) if track_best else None
+    skips = np.asarray(rest.pop(0)) if guard else None
+    tls = np.asarray(tls)  # host fetch blocks on program completion
+    vls = np.asarray(vls)
+    elapsed = _time.perf_counter() - t0
+
+    flow.model = unfold(list(tp_new))
+    flow.trained_path = "fused-step-mesh"
+    flow.fused_decline_reason = None
+    flow.train_loss.extend(float(v) for v in tls)
+    flow.valid_loss.extend(float(v) for v in vls)
+    if skips is not None:
+        flow.skipped_updates.extend(int(v) for v in skips)
+        if verbose and skips.sum():
+            print(f"[skipped {int(skips.sum())} non-finite updates]")
+    if metrics_log is not None:
+        _write_metrics(metrics_log, flow, epochs)
+
+    def zero_tpl():
+        return jax.tree_util.tree_map(jnp.zeros_like, flow.model)
+
+    ref_state = tx.init(flow.model)
+    new0 = ref_state[0]._replace(
+        count=f_state[0].count,
+        mu=unfold(list(f_state[0].mu), zero_tpl()),
+        nu=unfold(list(f_state[0].nu), zero_tpl()),
+    )
+    out_state = (new0,) + tuple(ref_state[1:])
+    if verbose:
+        for e, (tl, vl) in enumerate(zip(tls, vls)):
+            print(
+                f"epoch: {len(flow.train_loss) - epochs + e + 1} | "
+                f"train_loss = {tl}, valid_loss = {vl}"
+            )
+        n = n_train if n_train is not None else xt.shape[0]
+        sps = epochs * n / elapsed if elapsed > 0 else float("inf")
+        print(f"[mesh fused-step kernel | {elapsed:.2f}s incl. compile "
+              f"| {sps:,.0f} samples/s]")
+    if track_best:
+        return out_state, unfold(list(best_tp))
+    return out_state
+
+
 def _train_with_checkpoints(
     flow, data, optimizer, opt_state, *, epochs, batchsize, shuffle,
     verbose, key, mesh, debug, checkpoint_dir, checkpoint_every, resume,
@@ -872,6 +1115,45 @@ def train(
     xt, tht, xv, thv = put(x_train), put(th_train), put(x_valid), put(th_valid)
 
     model = flow.model
+
+    # mesh DP fused-step routing (r5): the grads-only step kernel under
+    # shard_map beats the jnp step 3.4×/1.6× at small/medium configs
+    # (benchmarks/step_kernel_probe.py). Adam-family only (the folded
+    # opt-state conversion needs mu/nu) and TPU only; declines are
+    # recorded like the whole-run kernel's.
+    step_hp = None
+    if (mesh is not None and jax.default_backend() == "tpu"
+            and not remat and not mixed_precision and not debug):
+        if type(optimizer) is Adam:
+            step_hp = dict(lr=optimizer.learning_rate, b1=optimizer.b1,
+                           b2=optimizer.b2, eps=optimizer.eps)
+        elif optimizer is _default_adam():
+            step_hp = dict(lr=1e-3, b1=0.9, b2=0.999, eps=1e-8)
+    if step_hp is not None:
+        from .models.fused_train import (
+            chain_train_fold,
+            fused_step_mesh_reason,
+        )
+
+        reason = fused_step_mesh_reason(flow, batchsize, mesh)
+        if reason is None:
+            out = _run_fused_step_mesh(
+                flow, mesh, batchsize, epochs, shuffle, key,
+                xt, tht, xv, thv,
+                None if weights is None else put(w_train),
+                None if weights is None else put(w_valid),
+                n_train, n_valid, step_hp, opt_state,
+                _track_best, skip_nonfinite, verbose, metrics_log,
+                chain_train_fold)
+            if out is not NotImplemented:
+                return out
+        else:
+            flow.fused_decline_reason = (
+                f"mesh fused-step not used — {reason}")
+            if verbose:
+                print(f"[mesh fused-step kernel not used — {reason}; "
+                      f"using the GSPMD jnp program]")
+
     if opt_state is None:
         opt_state = optimizer.init(model)
     if mesh is not None and jax.process_count() > 1:

@@ -954,3 +954,97 @@ def test_stream_kernel_track_best(cond_data, monkeypatch):
                     jax.tree_util.tree_leaves(best_s)):
         if a.size:
             np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+# -- mesh DP fused-step program (r5) ------------------------------------------
+
+
+def test_fused_step_mesh_matches_jnp(cond_data, monkeypatch):
+    """train(mesh=...) auto-routes through the grads-only step kernel
+    (shard_map + grad psum + folded Adam) inside its envelope and must
+    match the GSPMD jnp program: histories, params, Adam count — with
+    weights and the guard riding along."""
+    from densityflows_tpu.parallel.mesh import make_mesh
+
+    data, x = cond_data
+    rng = np.random.default_rng(9)
+    w = rng.uniform(0.3, 2.0, size=data.x.shape[0]).astype(np.float32)
+    mesh = make_mesh()
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.coupling_layer(data, [2, 3, 4], key=jax.random.key(1),
+                              joint_conditioner=True, hidden_dim_s=8,
+                              hidden_dim_t=8),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    kw = dict(epochs=4, batchsize=32, verbose=False,
+              key=jax.random.key(5), mesh=mesh, weights=w)
+    f_j = build()
+    os_j = df.train(f_j, data, df.adam(2e-3), **kw)
+    assert f_j.trained_path == "jnp"  # CPU rig: step path not routed
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    f_s = build()
+    os_s = df.train(f_s, data, df.adam(2e-3), **kw)
+    assert f_s.trained_path == "fused-step-mesh"
+    np.testing.assert_allclose(f_j.train_loss, f_s.train_loss, atol=ATOL)
+    np.testing.assert_allclose(f_j.valid_loss, f_s.valid_loss, atol=ATOL)
+    assert int(os_j[0].count) == int(os_s[0].count)
+    for a, b in zip(jax.tree_util.tree_leaves(f_j.model),
+                    jax.tree_util.tree_leaves(f_s.model)):
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=ATOL)
+
+    # continuation: a jnp-mesh opt_state feeds the step program exactly.
+    # train() donates the opt_state on both paths, so each continuation
+    # gets its own copy
+    def copy_state(s):
+        return jax.tree_util.tree_map(lambda a: jax.numpy.array(a), s)
+
+    os_a, os_b = copy_state(os_j), copy_state(os_j)
+    df.train(f_s, data, df.adam(2e-3), opt_state=os_a, epochs=2,
+             batchsize=32, verbose=False, key=jax.random.key(6),
+             mesh=mesh, weights=w)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    df.train(f_j, data, df.adam(2e-3), opt_state=os_b, epochs=2,
+             batchsize=32, verbose=False, key=jax.random.key(6),
+             mesh=mesh, weights=w)
+    np.testing.assert_allclose(f_j.valid_loss, f_s.valid_loss, atol=ATOL)
+
+
+def test_fused_step_mesh_envelope_declines(cond_data, monkeypatch, capsys):
+    """Outside the measured envelope (wide conditioners, indivisible
+    batch) the mesh path declines with a recorded reason and runs the
+    GSPMD jnp program."""
+    from densityflows_tpu.parallel.mesh import make_mesh
+
+    data, x = cond_data
+    mesh = make_mesh()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # wide conditioners: width > 64
+    flow = df.Flow(df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                          hidden_dim_s=128, hidden_dim_t=128),
+        df.normalization_layer(x, -1.0, 1.0),
+    ), data)
+    df.train(flow, data, df.adam(1e-3), epochs=1, batchsize=32,
+             verbose=True, key=jax.random.key(1), mesh=mesh)
+    assert flow.trained_path == "jnp"
+    assert "width" in flow.fused_decline_reason
+    assert "mesh fused-step" in capsys.readouterr().out
+
+    # batch not divisible by the data axis
+    flow2 = df.Flow(df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        df.normalization_layer(x, -1.0, 1.0),
+    ), data)
+    df.train(flow2, data, df.adam(1e-3), epochs=1, batchsize=30,
+             verbose=False, key=jax.random.key(1), mesh=mesh)
+    assert flow2.trained_path == "jnp"
+    assert "divisible" in flow2.fused_decline_reason
