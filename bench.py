@@ -928,6 +928,13 @@ def main():
     # inference-engine anchor (BASELINE.json config 4) over the trained flow
     inf = _bench_inference(jax, jnp, df, flow)
 
+    # streaming-kernel envelope anchor (r5): 50k rows at the reference
+    # width — the dataset scale where the resident kernel cannot fit and
+    # the jnp program used to be the only option (design.md §14c)
+    from benchmarks.stream_crossover import measure_rows
+
+    stream = measure_rows(50_000, reps=5)
+
     value = train_sps
     baseline_path = os.path.join(here, "BENCH_BASELINE.json")
     if os.path.exists(baseline_path):
@@ -1005,6 +1012,11 @@ def main():
                 "snpe_weighted_train_samples_per_sec": round(
                     inf["snpe_weighted_train_samples_per_sec"], 1),
                 "snpe_config": inf["snpe_config"],
+                "stream50k_train_samples_per_sec":
+                    stream["stream_samples_per_sec"],
+                "stream50k_jnp_samples_per_sec":
+                    stream["jnp_samples_per_sec"],
+                "stream50k_speedup": stream.get("stream_speedup_vs_jnp"),
                 "peak_tflops_bf16": wide["peak_tflops_bf16"],
                 "device_kind": wide["device_kind"],
                 "timing": "raw-program interleaved two-point "
