@@ -152,6 +152,9 @@ class Flow:
         # fused kernel declined, the envelope/surface item that blocked it
         self.trained_path: str | None = None
         self.fused_decline_reason: str | None = None
+        # which fused kernel the last train_fused run used
+        # ("resident" | "resident-chunked" | "stream")
+        self.fused_kernel_mode: str | None = None
         # device-resident θ bounds for boundary normalization
         self._theta_min = jnp.asarray(metadata.theta_min)
         self._theta_max = jnp.asarray(metadata.theta_max)
