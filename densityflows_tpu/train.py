@@ -434,8 +434,11 @@ def make_fused_step_mesh_program(
                  b2, eps, weighted, track_best, guard_nonfinite,
                  interpret)
     cached = _STEP_PROGRAM_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
+    # the entry stores the mesh itself: a GC'd mesh could hand its id()
+    # to a NEW mesh and silently hit a program compiled for the old
+    # device assignment (same stale-id class as the optimizer cache)
+    if cached is not None and cached[0] is mesh:
+        return cached[1]
 
     tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
     batch_sharding = NamedSharding(mesh, P("data", None))
@@ -547,7 +550,7 @@ def make_fused_step_mesh_program(
                         theta_valid, None, key)
 
     program = jax.jit(program, donate_argnums=(0, 1))
-    _STEP_PROGRAM_CACHE[cache_key] = program
+    _STEP_PROGRAM_CACHE[cache_key] = (mesh, program)
     return program
 
 
