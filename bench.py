@@ -758,8 +758,13 @@ def _bench_inference(jax, jnp, df, flow, *, n_particles=1 << 17,
 
         return run
 
+    # gap sizing: the step is ~5.5 µs on hardware (measured ~40% MFU),
+    # so a 56-step gap is ~0.3 ms — far under tunnel jitter; m2=1024
+    # puts ~5.5 ms of device signal in the difference (two sessions at
+    # m2=64 disagreed 10x: 72M vs 739M samples/s — the small gap, not
+    # the device)
     snpe_sps = _scan_rate(make_snpe_scan, batch, post_chain,
-                          optimizer.init(post_chain), m1=8, m2=64)
+                          optimizer.init(post_chain), m1=32, m2=1024)
     return {
         "smc_particle_steps_per_sec": rate,
         "smc_config": f"{n_particles} particles, n_mh={n_mh}, target = "
