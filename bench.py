@@ -842,12 +842,25 @@ def _bench_d128(jax, jnp, df, *, batch=4096, n_per=4096, m2=64):
         rng.uniform(0, 1, size=(g, n_cond)).astype(np.float32))
     theta_rows = jnp.repeat(thetas, n_per, axis=0)
 
+    # the sweep program mirrors Flow.sample_sweep's routing: past the
+    # cache-resident regime the fold runs row-CHUNKED (r5 — 2.9× at this
+    # config, design.md §14e)
+    from densityflows_tpu.models import flow as flow_mod
+
+    use_chunk = (total >= 2 * flow_mod._FOLD_CHUNK
+                 and total * max(hidden, d) * 4
+                 > flow_mod._FOLD_CHUNK_BYTES)
+
     def make_sweep_scan(m):
         @jax.jit
         def run(key):
             def body(c, k):
                 r = base.sample(k, (total,))
-                out = chain.forward_(r, theta_rows)
+                if use_chunk:
+                    out = flow_mod._sample_program_chunked(
+                        chain, r, theta_rows)
+                else:
+                    out = chain.forward_(r, theta_rows)
                 return c + jnp.sum(out), None
 
             tot, _ = jax.lax.scan(body, jnp.float32(0),

@@ -55,6 +55,47 @@ def _sample_program(model, base_stub, r, theta):
     return model.forward_(r, theta)
 
 
+# row-chunked fold (r5): at wide widths the straight fold is inter-layer
+# HBM-traffic-bound — every coupling reads/writes a (rows, width)
+# activation through HBM. Chunking the row axis bounds the live working
+# set: measured 20.1M vs 6.9M draws/s (2.9×) at d=128 h=512, 2^18 rows,
+# best at chunk 4096 (benchmarks/chunked_fold_probe.py, design.md §14e).
+_FOLD_CHUNK = 4096
+_FOLD_CHUNK_BYTES = 32 * 1024 * 1024
+
+
+def _max_conditioner_width(model) -> int:
+    from ..ops.mlp import MLP
+
+    nodes = jax.tree_util.tree_flatten(
+        model, is_leaf=lambda n: isinstance(n, MLP))[0]
+    return max((int(w.shape[-1]) for n in nodes if isinstance(n, MLP)
+                for w in n.weights), default=0)
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def _sample_program_chunked(model, r, theta):
+    """The same fold in ``_FOLD_CHUNK``-row blocks (lax.scan +
+    dynamic_slice) so inter-layer activations stay cache-resident."""
+    rows, d = r.shape[0], r.shape[-1]
+    c = _FOLD_CHUNK
+    pad = (-rows) % c
+    if pad:
+        r = jnp.concatenate(
+            [r, jnp.zeros((pad,) + r.shape[1:], r.dtype)])
+        theta = jnp.concatenate(
+            [theta, jnp.zeros((pad,) + theta.shape[1:], theta.dtype)])
+
+    def body(carry, i):
+        rc = jax.lax.dynamic_slice_in_dim(r, i * c, c)
+        tc = jax.lax.dynamic_slice_in_dim(theta, i * c, c)
+        return carry, model.forward_(rc, tc)
+
+    _, outs = jax.lax.scan(body, 0,
+                           jnp.arange((rows + pad) // c, dtype=jnp.int32))
+    return outs.reshape(-1, d)[:rows]
+
+
 def _chain_eval(model, y, theta, dirn):
     """Inverse/forward fold with ldj, routed through the whole-chain fused
     kernel on TPU inference paths (models/fused_chain.py; grad-safe — its
@@ -263,7 +304,22 @@ class Flow:
             return out
         r = self.base.sample(key, dims, dtype)
         theta_n = self.prepare_theta(theta, dims, dtype)
+        rows = int(np.prod(dims)) if dims else 1
+        if self._chunk_fold(rows):
+            out = _sample_program_chunked(
+                self.model, r.reshape(rows, self.metadata.d),
+                jnp.broadcast_to(
+                    theta_n, r.shape[:-1] + theta_n.shape[-1:]
+                ).reshape(rows, theta_n.shape[-1]))
+            return out.reshape(dims + (self.metadata.d,))
         return _sample_program(self.model, None, r, theta_n)
+
+    def _chunk_fold(self, rows: int) -> bool:
+        """Chunk the sampling fold when the per-layer activation traffic
+        is past the cache-resident regime (design.md §14e)."""
+        w = max(_max_conditioner_width(self.model), self.metadata.d)
+        return (rows >= 2 * _FOLD_CHUNK
+                and rows * w * 4 > _FOLD_CHUNK_BYTES)
 
     def _sample_fused(self, dims, theta, key, dtype):
         """Single-kernel sampling (in-kernel base draw + whole-chain fold,
@@ -329,6 +385,9 @@ class Flow:
             )
         else:
             r = self.base.sample(key, (total,), dtype)
+            if self._chunk_fold(total):
+                out = _sample_program_chunked(self.model, r, theta_n)
+                return out.reshape(g, n_per_theta, self.metadata.d)
         out = _sample_program(self.model, None, r, theta_n)
         return out.reshape(g, n_per_theta, self.metadata.d)
 

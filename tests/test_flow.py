@@ -275,3 +275,41 @@ def test_rqs_forward_fast_path_matches_forward(fixture_data):
     fast = layer.forward_(z, th)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(full), rtol=1e-6)
     assert np.asarray(ldj).shape == (64,)
+
+
+def test_chunked_sampling_fold_matches_straight():
+    """The row-chunked sampling fold (r5, the HBM-traffic fix for wide
+    configs — design.md §14e) must reproduce the straight fold exactly,
+    including a non-multiple-of-chunk remainder, and the threshold
+    routes only genuinely large folds."""
+    import jax.numpy as jnp
+
+    from densityflows_tpu.models import flow as flow_mod
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(200, 6)).astype(np.float32)
+    th = rng.uniform(-1, 2, size=(200, 2)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        df.coupling_layer(data, [3, 4, 5], key=jax.random.key(1),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    fl = df.Flow(chain, data)
+
+    rows = 10_000  # not a multiple of the 4096-row chunk
+    r = fl.base.sample(jax.random.key(7), (rows,))
+    theta_n = fl.prepare_theta((0.5, 0.5), (rows,))
+    straight = np.asarray(flow_mod._sample_program(
+        chain, None, jnp.array(r), theta_n))
+    chunked = np.asarray(flow_mod._sample_program_chunked(
+        chain, jnp.array(r), jnp.broadcast_to(
+            theta_n, (rows, 2)).astype(np.float32)))
+    np.testing.assert_allclose(chunked, straight, atol=1e-6)
+
+    # threshold: small folds stay on the straight program; only
+    # rows x width x 4B past the cache-resident regime chunk
+    assert not fl._chunk_fold(rows)
+    assert fl._chunk_fold(1 << 21)
