@@ -115,6 +115,30 @@ def _log_prob_program(model, base, x, theta):
     return base.log_prob(z) + ldj
 
 
+@jax.jit
+def _log_prob_program_chunked(model, base, x, theta):
+    """Row-chunked inverse fold (design.md §14e): the same 4096-row
+    blocking as the sampling fold, for density evaluation at widths ×
+    row counts past the cache-resident regime."""
+    rows = x.shape[0]
+    c = _FOLD_CHUNK
+    pad = (-rows) % c
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        theta = jnp.concatenate(
+            [theta, jnp.zeros((pad,) + theta.shape[1:], theta.dtype)])
+
+    def body(carry, i):
+        xc = jax.lax.dynamic_slice_in_dim(x, i * c, c)
+        tc = jax.lax.dynamic_slice_in_dim(theta, i * c, c)
+        z, ldj = _chain_eval(model, xc, tc, "inv")
+        return carry, base.log_prob(z) + ldj
+
+    _, lps = jax.lax.scan(body, 0,
+                          jnp.arange((rows + pad) // c, dtype=jnp.int32))
+    return lps.reshape(-1)[:rows]
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _log_prob_grid_program(model, base, vecs, theta_row, chunk):
     """Chunked tensor-product-grid log-pdf: ONE jitted program that
@@ -435,6 +459,15 @@ class Flow:
                 prep(theta_n, self.metadata.n),
             )
             return lp[:rows].reshape(batch_shape)
+        batch_shape = x.shape[:-1]
+        rows = int(np.prod(batch_shape)) if batch_shape else 1
+        if self._chunk_fold(rows):
+            lp = _log_prob_program_chunked(
+                self.model, self.base, x.reshape(rows, x.shape[-1]),
+                jnp.broadcast_to(
+                    theta_n, batch_shape + theta_n.shape[-1:]
+                ).reshape(rows, theta_n.shape[-1]))
+            return lp.reshape(batch_shape)
         return _log_prob_program(self.model, self.base, x, theta_n)
 
     def _log_prob_grid(self, axes_vectors: tuple, theta, grid_chunk: int):

@@ -313,3 +313,33 @@ def test_chunked_sampling_fold_matches_straight():
     # rows x width x 4B past the cache-resident regime chunk
     assert not fl._chunk_fold(rows)
     assert fl._chunk_fold(1 << 21)
+
+
+def test_chunked_log_prob_matches_straight():
+    """Row-chunked density evaluation == the straight program exactly
+    (same routing lever as the sampling fold, design.md §14e)."""
+    import jax.numpy as jnp
+
+    from densityflows_tpu.models import flow as flow_mod
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(150, 4)).astype(np.float32)
+    th = rng.uniform(-1, 2, size=(150, 1)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1], key=jax.random.key(0),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        df.coupling_layer(data, [2, 3], key=jax.random.key(1),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    fl = df.Flow(chain, data)
+    rows = 9_000  # non-multiple of the chunk
+    xe = rng.normal(size=(rows, 4)).astype(np.float32)
+    theta_n = fl.prepare_theta((0.2,), (rows,))
+    straight = np.asarray(flow_mod._log_prob_program(
+        chain, fl.base, jnp.asarray(xe), theta_n))
+    chunked = np.asarray(flow_mod._log_prob_program_chunked(
+        chain, fl.base, jnp.asarray(xe),
+        jnp.broadcast_to(theta_n, (rows, 1)).astype(np.float32)))
+    np.testing.assert_allclose(chunked, straight, atol=1e-6)
