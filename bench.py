@@ -940,18 +940,39 @@ def main():
     # flagship wide config (BASELINE.json config 3)
     wide = _bench_wide(jax, jnp, df)
 
+    # anchor sections are FAIL-SOFT: a transient remote-compile crash
+    # (observed: tpu_compile_helper SIGILL on one program shape) in an
+    # optional anchor must not zero out the whole driver record — the
+    # headline + correctness GATES above stay hard-failing
+    errors = {}
+
+    def soft(name, fn, fallback):
+        try:
+            return fn()
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {str(e)[:160]}"
+            return fallback
+
     # pod-config single-chip anchor (BASELINE.json config 5)
-    d128 = _bench_d128(jax, jnp, df)
+    d128 = soft("d128", lambda: _bench_d128(jax, jnp, df), {
+        "train_sps": -1.0, "sweep_dps": -1.0, "train_mfu": 0.0,
+        "sweep_mfu": 0.0, "flops_per_sample_fwd": 0,
+        "pod_10m_per_chip": False, "config": "FAILED"})
 
     # inference-engine anchor (BASELINE.json config 4) over the trained flow
-    inf = _bench_inference(jax, jnp, df, flow)
+    inf = soft("inference", lambda: _bench_inference(jax, jnp, df, flow), {
+        "smc_particle_steps_per_sec": -1.0, "smc_config": "FAILED",
+        "snpe_weighted_train_samples_per_sec": -1.0,
+        "snpe_config": "FAILED"})
 
     # streaming-kernel envelope anchor (r5): 50k rows at the reference
     # width — the dataset scale where the resident kernel cannot fit and
     # the jnp program used to be the only option (design.md §14c)
     from benchmarks.stream_crossover import measure_rows
 
-    stream = measure_rows(50_000, reps=5)
+    stream = soft("stream50k", lambda: measure_rows(50_000, reps=5), {
+        "stream_samples_per_sec": -1.0, "jnp_samples_per_sec": -1.0,
+        "stream_speedup_vs_jnp": None})
 
     value = train_sps
     baseline_path = os.path.join(here, "BENCH_BASELINE.json")
@@ -1040,6 +1061,7 @@ def main():
                 "timing": "raw-program interleaved two-point "
                           "(docs/design.md §3, §12)",
                 "device": str(jax.devices()[0]),
+                **({"anchor_errors": errors} if errors else {}),
             }
         )
     )
