@@ -208,6 +208,15 @@ def train_streaming(
     if optimizer is None:
         optimizer = _default_adam()
     step = make_train_step(optimizer)
+    # fused streaming step (r5): on a single TPU with an Adam-family
+    # optimizer inside the step-kernel envelope, the per-batch step runs
+    # the grads-only kernel + folded Adam (3.4×/1.6× the jnp step at
+    # ref/medium configs — design.md §14c). The loop below is unchanged:
+    # `model`/`opt_state` carry the FOLDED representation, and `fused`
+    # translates at entry/exit.
+    fused = None
+    if mesh is None:
+        fused = _fused_streaming_setup(flow, optimizer, opt_state)
     loader = StreamingLoader(
         x, theta, batchsize=batchsize, shuffle=shuffle, seed=seed,
         host_id=host_id, num_hosts=num_hosts,
@@ -233,7 +242,11 @@ def train_streaming(
         return jax.device_put(arr, sharding)
 
     model = flow.model
-    if opt_state is None:
+    if fused is not None:
+        model, opt_state = fused["enter"](model, opt_state)
+        step = fused["step"]
+        flow.trained_path = "fused-step"
+    elif opt_state is None:
         opt_state = optimizer.init(model)
     md = flow.metadata
 
@@ -254,7 +267,7 @@ def train_streaming(
 
         logger = MetricsLogger(metrics_log)
 
-    eval_nll = _eval_nll_jit
+    eval_nll = fused["eval"] if fused is not None else _eval_nll_jit
     for e in range(epochs):
         losses, weights = [], []
         for xb, thb, mask in loader.epoch(e):
@@ -278,7 +291,8 @@ def train_streaming(
             weights = [float(np.asarray(w)) for w in weights]
         w = np.asarray(weights)
         train_nll = float(np.dot(np.asarray(losses), w) / max(w.sum(), 1.0))
-        flow.model = model
+        if fused is None:
+            flow.model = model  # folded carriers unfold once at exit
         flow.train_loss.append(train_nll)
         extras = {}
         if xv is not None:
@@ -293,4 +307,101 @@ def train_streaming(
             if xv is not None:
                 msg += f", valid_loss = {extras['valid_nll']}"
             print(msg)
+    if fused is not None:
+        model, opt_state = fused["exit"](model, opt_state)
+        flow.model = model
     return opt_state
+
+
+def _fused_streaming_setup(flow, optimizer, opt_state):
+    """``None``, or enter/step/eval/exit callables that run the
+    streaming loop on FOLDED params with the grads-only step kernel
+    (``ops/pallas_step``) + optax Adam — the same step shape the mesh DP
+    program uses, minus the psum. Single-device, Adam-family, inside the
+    measured envelope only (design.md §14c)."""
+    import optax
+
+    from .models.fused_train import (
+        _STEP_MAX_D,
+        _STEP_MAX_WIDTH,
+        UnsupportedFusedTrain,
+        chain_train_fold,
+    )
+    from .train import Adam, _default_adam
+
+    if jax.default_backend() != "tpu":
+        return None
+    if type(optimizer) is Adam:
+        hp = dict(learning_rate=optimizer.learning_rate, b1=optimizer.b1,
+                  b2=optimizer.b2, eps=optimizer.eps)
+    elif optimizer is _default_adam():
+        hp = dict(learning_rate=1e-3, b1=0.9, b2=0.999, eps=1e-8)
+    else:
+        return None
+    if opt_state is not None and not (
+            hasattr(opt_state[0], "mu") and hasattr(opt_state[0], "nu")):
+        return None
+    if flow.metadata.d > _STEP_MAX_D:
+        return None
+    try:
+        (plan, tcounts, tparams, masks, mask_slots, cparams, fold_state,
+         unfold) = chain_train_fold(flow.model)
+    except UnsupportedFusedTrain:
+        return None
+    width = max([int(p.shape[-1]) for p in tparams
+                 if getattr(p, "ndim", 0) == 2] + [1])
+    if width > _STEP_MAX_WIDTH:
+        return None
+
+    from .ops.pallas_step import folded_nll, run_fused_grads
+
+    tx = optax.adam(**hp)
+    # real platform, not default_backend (tests monkeypatch the latter
+    # to exercise routing on the CPU rig)
+    interpret = jax.devices()[0].platform != "tpu"
+
+    @jax.jit
+    def step(tp, fstate, base_stub, xb, thb, mask):
+        del base_stub
+        loss, grads = run_fused_grads(
+            xb, thb, mask, tuple(tp), tuple(masks), tuple(cparams),
+            plan=plan, tcounts=tuple(tcounts),
+            mask_slots=tuple(mask_slots), tile=min(512, xb.shape[0]),
+            interpret=interpret)
+        upd, fstate = tx.update(list(grads), fstate, list(tp))
+        return tuple(p + u for p, u in zip(tp, upd)), fstate, loss
+
+    @jax.jit
+    def eval_nll(tp, base_stub, xv, thv):
+        del base_stub
+        ones = jnp.ones((xv.shape[0], 1), jnp.float32)
+        return folded_nll(list(tp), list(cparams), xv, thv, ones,
+                          plan=plan, tcounts=tuple(tcounts))
+
+    def enter(model, user_state):
+        fstate = tx.init(list(tparams))
+        if user_state is not None:
+            adam = user_state[0]
+            fstate = (fstate[0]._replace(
+                count=jnp.asarray(adam.count, jnp.int32),
+                mu=fold_state(adam.mu),
+                nu=fold_state(adam.nu),
+            ),) + tuple(fstate[1:])
+        return tuple(tparams), fstate
+
+    def exit_(tp, fstate):
+        new_model = unfold(list(tp))
+
+        def zero_tpl():
+            return jax.tree_util.tree_map(jnp.zeros_like, new_model)
+
+        ref_state = tx.init(new_model)
+        new0 = ref_state[0]._replace(
+            count=fstate[0].count,
+            mu=unfold(list(fstate[0].mu), zero_tpl()),
+            nu=unfold(list(fstate[0].nu), zero_tpl()),
+        )
+        return new_model, (new0,) + tuple(ref_state[1:])
+
+    return {"enter": enter, "step": step, "eval": eval_nll,
+            "exit": exit_}
