@@ -245,6 +245,61 @@ def guard_parity_case(jax, df):
     return data, build
 
 
+def fused_step_grads_gate(jax, df):
+    """On-hardware parity of the grads-only step kernel
+    (ops/pallas_step — the mesh-DP and streaming-trainer step since r5)
+    vs jax.value_and_grad through the fold embedding. One batch with a
+    clamped joint layer, padded rows, and batch tiling; raises past
+    1e-3 (measured ~1e-7 in interpret and on-chip)."""
+    import jax.numpy as jnp
+
+    from densityflows_tpu.models.fused_train import chain_train_fold
+    from densityflows_tpu.ops.pallas_step import run_fused_grads
+    from densityflows_tpu.train import masked_nll_loss
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(100, 5)).astype(np.float32)
+    th = rng.uniform(-1, 2, size=(100, 1)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                          hidden_dim_s=16, hidden_dim_t=16),
+        df.coupling_layer(data, [2, 3, 4], key=jax.random.key(1),
+                          joint_conditioner=True, hidden_dim_s=16,
+                          hidden_dim_t=16, max_log_scale=3.0),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    flow = df.Flow(chain, data)
+    xb, thb = data.normalized_training_data(flow.metadata)
+    xb, thb = jnp.asarray(xb[:64]), jnp.asarray(thb[:64])
+    mask = jnp.concatenate([jnp.ones(50), jnp.zeros(14)]).astype(
+        jnp.float32)
+
+    (plan, tcounts, tparams, masks, mask_slots, cparams, _fs,
+     unfold) = chain_train_fold(chain)
+    loss_k, grads_k = run_fused_grads(
+        xb, thb, mask, tuple(tparams), tuple(masks), tuple(cparams),
+        plan=plan, tcounts=tuple(tcounts), mask_slots=tuple(mask_slots),
+        tile=32)
+    loss_j, grads_j = jax.value_and_grad(masked_nll_loss)(
+        chain, flow.base, xb, thb, mask)
+
+    def zero_tpl():
+        return jax.tree_util.tree_map(jnp.zeros_like, chain)
+
+    g_unfold = unfold(list(grads_k), zero_tpl())
+    err = max(
+        [abs(float(loss_k) - float(loss_j))]
+        + [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+           for a, b in zip(jax.tree_util.tree_leaves(g_unfold),
+                           jax.tree_util.tree_leaves(grads_j)) if a.size])
+    if not np.isfinite(err) or err > 1e-3:
+        raise RuntimeError(
+            f"grads-only step kernel diverged from jax.grad on "
+            f"hardware: max err {err}")
+    return {"fused_step_grads_max_err": round(err, 9)}
+
+
 def surface_parity_case(jax, df):
     """Composite kernel-surface fixture (VERDICT r4 item 2): every
     feature that auto-routes into the whole-run train kernel rides in
@@ -922,6 +977,9 @@ def main():
     # track_best/tagged-Adam all in one hardware-checked chain
     surf = fused_surface_parity_gate(jax, df)
 
+    # grads-only step kernel gate (the mesh-DP / streaming step, r5)
+    stepg = fused_step_grads_gate(jax, df)
+
     # headline: raw-program interleaved two-point rates for BOTH paths.
     # train() auto-routes the reference config through the fused kernel
     # on TPU (train.py fused_kernel='auto'), so the fused rate IS the
@@ -1017,6 +1075,8 @@ def main():
                     surf["fused_surface_best_self_err"],
                 "fused_surface_best_argmin":
                     surf["fused_surface_best_argmin"],
+                "fused_step_grads_max_err":
+                    stepg["fused_step_grads_max_err"],
                 "headline_path": "fused whole-run train kernel "
                                  "(auto-routed; ops/pallas_train.py)",
                 "sample_draws_per_sec": round(sample_dps, 1),
