@@ -300,6 +300,67 @@ def fused_step_grads_gate(jax, df):
     return {"fused_step_grads_max_err": round(err, 9)}
 
 
+def stream_kernel_parity_gate(jax, df):
+    """On-hardware parity of the STREAMING train kernel
+    (ops/pallas_train_stream — per-batch HBM blocks + snapshot evals)
+    vs the jnp program: strict epoch-1 (1e-3) + short-horizon histories
+    + params. Forced through the stream path by failing the resident
+    envelope check."""
+    import densityflows_tpu.models.fused_train as ft
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(400, 5)).astype(np.float32)
+    th = rng.uniform(-1, 2, size=(400, 2)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1, 2], key=jax.random.key(0),
+                              hidden_dim_s=12, hidden_dim_t=12),
+            df.coupling_layer(data, [2, 3, 4], key=jax.random.key(1),
+                              joint_conditioner=True, hidden_dim_s=12,
+                              hidden_dim_t=12),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    f_j = build()
+    df.train(f_j, data, epochs=8, batchsize=32, verbose=False,
+             key=jax.random.key(2), fused_kernel=False)
+
+    orig = ft._check_budget
+
+    def always_raise(*a, **k):
+        raise ft.UnsupportedFusedTrain("gate: force stream")
+
+    ft._check_budget = always_raise
+    try:
+        f_s = build()
+        ft.train_fused(f_s, data, epochs=8, batchsize=32, verbose=False,
+                       key=jax.random.key(2))
+    finally:
+        ft._check_budget = orig
+    if getattr(f_s, "fused_kernel_mode", None) != "stream":
+        raise RuntimeError("stream gate did not route through the "
+                           "streaming kernel")
+    e1 = max(abs(f_j.train_loss[0] - f_s.train_loss[0]),
+             abs(f_j.valid_loss[0] - f_s.valid_loss[0]))
+    hist = max(
+        max(abs(a - b) for a, b in zip(f_j.train_loss, f_s.train_loss)),
+        max(abs(a - b) for a, b in zip(f_j.valid_loss, f_s.valid_loss)))
+    perr = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree_util.tree_leaves(f_j.model),
+                        jax.tree_util.tree_leaves(f_s.model)) if a.size)
+    finite = np.isfinite(f_s.train_loss).all()
+    if not finite or e1 > 1e-3 or hist > 0.1 or perr > 1e-2:
+        raise RuntimeError(
+            f"streaming kernel diverged from the jnp program on "
+            f"hardware: epoch-1 err {e1} (1e-3), history err {hist} "
+            f"(0.1), param err {perr} (1e-2), finite={finite}")
+    return {"stream_kernel_parity_max_err": round(float(e1), 8),
+            "stream_kernel_history_max_err": round(float(hist), 8)}
+
+
 def surface_parity_case(jax, df):
     """Composite kernel-surface fixture (VERDICT r4 item 2): every
     feature that auto-routes into the whole-run train kernel rides in
@@ -980,6 +1041,9 @@ def main():
     # grads-only step kernel gate (the mesh-DP / streaming step, r5)
     stepg = fused_step_grads_gate(jax, df)
 
+    # streaming-kernel parity gate (per-batch HBM blocks, r5)
+    streamg = stream_kernel_parity_gate(jax, df)
+
     # headline: raw-program interleaved two-point rates for BOTH paths.
     # train() auto-routes the reference config through the fused kernel
     # on TPU (train.py fused_kernel='auto'), so the fused rate IS the
@@ -1077,6 +1141,10 @@ def main():
                     surf["fused_surface_best_argmin"],
                 "fused_step_grads_max_err":
                     stepg["fused_step_grads_max_err"],
+                "stream_kernel_parity_max_err":
+                    streamg["stream_kernel_parity_max_err"],
+                "stream_kernel_history_max_err":
+                    streamg["stream_kernel_history_max_err"],
                 "headline_path": "fused whole-run train kernel "
                                  "(auto-routed; ops/pallas_train.py)",
                 "sample_draws_per_sec": round(sample_dps, 1),
