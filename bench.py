@@ -1200,9 +1200,13 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # pragma: no cover - hardware-transient path
         # a FAILED_PRECONDITION / backend error on the FIRST op after a
-        # grant handover is transient (CLAUDE.md TPU notes) — retry the
-        # whole run once; real failures (e.g. the parity gate) repeat
-        if "FAILED_PRECONDITION" in str(e) or "backend" in str(e).lower():
+        # grant handover is transient (CLAUDE.md TPU notes), and the
+        # remote-compile service intermittently drops connections or
+        # SIGILLs its helper (observed r5) — retry the whole run once;
+        # real failures (e.g. the parity gates) repeat
+        if ("FAILED_PRECONDITION" in str(e)
+                or "backend" in str(e).lower()
+                or "remote_compile" in str(e)):
             import sys
 
             print(f"[transient TPU error, retrying once: {e}]",
