@@ -907,8 +907,6 @@ def fused_step_mesh_reason(flow, batchsize, mesh):
     it does not (surfaced through ``flow.fused_decline_reason``)."""
     if not isinstance(flow.base, StandardNormal):
         return "non-StandardNormal base"
-    if jax.process_count() > 1:
-        return "multi-process mesh (fused-step DP is single-process for now)"
     if any(sz > 1 for name, sz in dict(mesh.shape).items()
            if name != "data"):
         return "non-DP mesh axes (fused-step DP shards 'data' only)"

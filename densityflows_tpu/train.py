@@ -574,13 +574,28 @@ def _run_fused_step_mesh(flow, mesh, batchsize, epochs, shuffle, key,
         adam = opt_state[0]
         if not hasattr(adam, "mu") or not hasattr(adam, "nu"):
             return NotImplemented
-        folded_state = (
-            folded_state[0]._replace(
-                count=jnp.asarray(adam.count, jnp.int32),
-                mu=fold_state(adam.mu),
-                nu=fold_state(adam.nu),
-            ),
-        ) + tuple(folded_state[1:])
+        try:
+            folded_state = (
+                folded_state[0]._replace(
+                    count=jnp.asarray(adam.count, jnp.int32),
+                    mu=fold_state(adam.mu),
+                    nu=fold_state(adam.nu),
+                ),
+            ) + tuple(folded_state[1:])
+        except Exception:
+            # a non-addressable (multi-process global) state cannot be
+            # folded eagerly — the GSPMD jnp program handles it
+            return NotImplemented
+
+    multiproc = mesh is not None and jax.process_count() > 1
+    if multiproc:
+        # fold happened on identical host-local values on every process
+        # (deterministic construction) — lift to replicated GLOBAL
+        # arrays for the multi-process jit
+        from .parallel.mesh import put_replicated
+
+        tparams = list(put_replicated(mesh, tuple(tparams)))
+        folded_state = put_replicated(mesh, folded_state)
 
     prog = make_fused_step_mesh_program(
         mesh, plan, tuple(tcounts), tuple(masksL), tuple(mask_slots),
@@ -603,7 +618,16 @@ def _run_fused_step_mesh(flow, mesh, batchsize, epochs, shuffle, key,
     vls = np.asarray(vls)
     elapsed = _time.perf_counter() - t0
 
-    flow.model = unfold(list(tp_new))
+    def to_host(arrs):
+        # replicated global arrays are not eagerly sliceable across
+        # processes; every addressable shard of a P()-sharded array IS
+        # the full value, so unfold on the local copy
+        if multiproc:
+            return [jnp.asarray(np.asarray(a.addressable_data(0)))
+                    for a in arrs]
+        return list(arrs)
+
+    flow.model = unfold(to_host(tp_new))
     flow.trained_path = "fused-step-mesh"
     flow.fused_decline_reason = None
     flow.train_loss.extend(float(v) for v in tls)
@@ -619,10 +643,13 @@ def _run_fused_step_mesh(flow, mesh, batchsize, epochs, shuffle, key,
         return jax.tree_util.tree_map(jnp.zeros_like, flow.model)
 
     ref_state = tx.init(flow.model)
+    count_out = f_state[0].count
+    if multiproc:
+        count_out = jnp.asarray(np.asarray(count_out.addressable_data(0)))
     new0 = ref_state[0]._replace(
-        count=f_state[0].count,
-        mu=unfold(list(f_state[0].mu), zero_tpl()),
-        nu=unfold(list(f_state[0].nu), zero_tpl()),
+        count=count_out,
+        mu=unfold(to_host(f_state[0].mu), zero_tpl()),
+        nu=unfold(to_host(f_state[0].nu), zero_tpl()),
     )
     out_state = (new0,) + tuple(ref_state[1:])
     if verbose:
@@ -636,7 +663,7 @@ def _run_fused_step_mesh(flow, mesh, batchsize, epochs, shuffle, key,
         print(f"[mesh fused-step kernel | {elapsed:.2f}s incl. compile "
               f"| {sps:,.0f} samples/s]")
     if track_best:
-        return out_state, unfold(list(best_tp))
+        return out_state, unfold(to_host(best_tp))
     return out_state
 
 
