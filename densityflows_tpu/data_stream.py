@@ -214,9 +214,13 @@ def train_streaming(
     # ref/medium configs — design.md §14c). The loop below is unchanged:
     # `model`/`opt_state` carry the FOLDED representation, and `fused`
     # translates at entry/exit.
-    fused = None
-    if mesh is None:
-        fused = _fused_streaming_setup(flow, optimizer, opt_state)
+    fused = _fused_streaming_setup(flow, optimizer, opt_state, mesh)
+    fused_carrier = None
+    if fused is not None:
+        # fold BEFORE any multi-process replication of model/opt_state
+        fused_carrier = fused["enter"](flow.model, opt_state)
+        if fused_carrier is None:
+            fused = None
     loader = StreamingLoader(
         x, theta, batchsize=batchsize, shuffle=shuffle, seed=seed,
         host_id=host_id, num_hosts=num_hosts,
@@ -228,7 +232,9 @@ def train_streaming(
 
         batch_sharding = data_sharding(mesh, 2)
         mask_sharding = data_sharding(mesh, 1)
-        if multiproc:
+        if multiproc and fused is None:
+            # the fused path folds the HOST-LOCAL model/state and lifts
+            # the folded lists itself (enter())
             flow.model = put_replicated(mesh, flow.model)
             if opt_state is not None:
                 opt_state = put_replicated(mesh, opt_state)
@@ -243,9 +249,10 @@ def train_streaming(
 
     model = flow.model
     if fused is not None:
-        model, opt_state = fused["enter"](model, opt_state)
+        model, opt_state = fused_carrier
         step = fused["step"]
-        flow.trained_path = "fused-step"
+        flow.trained_path = ("fused-step-mesh" if mesh is not None
+                             else "fused-step")
     elif opt_state is None:
         opt_state = optimizer.init(model)
     md = flow.metadata
@@ -313,16 +320,20 @@ def train_streaming(
     return opt_state
 
 
-def _fused_streaming_setup(flow, optimizer, opt_state):
+def _fused_streaming_setup(flow, optimizer, opt_state, mesh=None):
     """``None``, or enter/step/eval/exit callables that run the
     streaming loop on FOLDED params with the grads-only step kernel
-    (``ops/pallas_step``) + optax Adam — the same step shape the mesh DP
-    program uses, minus the psum. Single-device, Adam-family, inside the
-    measured envelope only (design.md §14c)."""
+    (``ops/pallas_step``) + optax Adam. On a mesh the per-batch step is
+    the shard_map DP step (local kernel → grad psum → folded Adam,
+    ``train.make_fused_step_fn``) and works multi-process (fold
+    host-local, lift to replicated global arrays). Adam-family, inside
+    the measured envelope only (design.md §14c)."""
+    import numpy as np
     import optax
 
     from .models.fused_train import (
         _STEP_MAX_D,
+        _STEP_MAX_LOCAL_BATCH,
         _STEP_MAX_WIDTH,
         UnsupportedFusedTrain,
         chain_train_fold,
@@ -352,6 +363,7 @@ def _fused_streaming_setup(flow, optimizer, opt_state):
                  if getattr(p, "ndim", 0) == 2] + [1])
     if width > _STEP_MAX_WIDTH:
         return None
+    multiproc = mesh is not None and jax.process_count() > 1
 
     from .ops.pallas_step import folded_nll, run_fused_grads
 
@@ -360,16 +372,38 @@ def _fused_streaming_setup(flow, optimizer, opt_state):
     # to exercise routing on the CPU rig)
     interpret = jax.devices()[0].platform != "tpu"
 
-    @jax.jit
-    def step(tp, fstate, base_stub, xb, thb, mask):
-        del base_stub
-        loss, grads = run_fused_grads(
-            xb, thb, mask, tuple(tp), tuple(masks), tuple(cparams),
-            plan=plan, tcounts=tuple(tcounts),
-            mask_slots=tuple(mask_slots), tile=min(512, xb.shape[0]),
-            interpret=interpret)
-        upd, fstate = tx.update(list(grads), fstate, list(tp))
-        return tuple(p + u for p, u in zip(tp, upd)), fstate, loss
+    if mesh is not None:
+        from .train import make_fused_step_fn
+
+        ndev = int(dict(mesh.shape).get("data", 1))
+        if any(sz > 1 for name, sz in dict(mesh.shape).items()
+               if name != "data"):
+            return None
+        mesh_step = make_fused_step_fn(
+            mesh, plan, tuple(tcounts), tuple(masks), tuple(mask_slots),
+            tuple(cparams), lr=hp["learning_rate"], b1=hp["b1"],
+            b2=hp["b2"], eps=hp["eps"], interpret=interpret)
+
+        def step(tp, fstate, base_stub, xb, thb, mask):
+            del base_stub
+            if xb.shape[0] % ndev or xb.shape[0] // ndev \
+                    > _STEP_MAX_LOCAL_BATCH:
+                raise ValueError(
+                    f"streaming fused-step: global batch {xb.shape[0]} "
+                    f"must divide the data axis ({ndev}) and keep the "
+                    f"per-device batch ≤ {_STEP_MAX_LOCAL_BATCH}")
+            return mesh_step(tp, fstate, xb, thb, mask)
+    else:
+        @jax.jit
+        def step(tp, fstate, base_stub, xb, thb, mask):
+            del base_stub
+            loss, grads = run_fused_grads(
+                xb, thb, mask, tuple(tp), tuple(masks), tuple(cparams),
+                plan=plan, tcounts=tuple(tcounts),
+                mask_slots=tuple(mask_slots),
+                tile=min(512, xb.shape[0]), interpret=interpret)
+            upd, fstate = tx.update(list(grads), fstate, list(tp))
+            return tuple(p + u for p, u in zip(tp, upd)), fstate, loss
 
     @jax.jit
     def eval_nll(tp, base_stub, xv, thv):
@@ -380,26 +414,47 @@ def _fused_streaming_setup(flow, optimizer, opt_state):
 
     def enter(model, user_state):
         fstate = tx.init(list(tparams))
+        tp = tuple(tparams)
         if user_state is not None:
             adam = user_state[0]
-            fstate = (fstate[0]._replace(
-                count=jnp.asarray(adam.count, jnp.int32),
-                mu=fold_state(adam.mu),
-                nu=fold_state(adam.nu),
-            ),) + tuple(fstate[1:])
-        return tuple(tparams), fstate
+            try:
+                fstate = (fstate[0]._replace(
+                    count=jnp.asarray(adam.count, jnp.int32),
+                    mu=fold_state(adam.mu),
+                    nu=fold_state(adam.nu),
+                ),) + tuple(fstate[1:])
+            except Exception:
+                # non-addressable state cannot fold eagerly — caller
+                # falls back to the jnp step path
+                return None
+        if multiproc:
+            from .parallel.mesh import put_replicated
+
+            tp = put_replicated(mesh, tp)
+            fstate = put_replicated(mesh, fstate)
+        return tp, fstate
+
+    def _to_host(arrs):
+        if multiproc:
+            return [jnp.asarray(np.asarray(a.addressable_data(0)))
+                    for a in arrs]
+        return list(arrs)
 
     def exit_(tp, fstate):
-        new_model = unfold(list(tp))
+        new_model = unfold(_to_host(tp))
 
         def zero_tpl():
             return jax.tree_util.tree_map(jnp.zeros_like, new_model)
 
         ref_state = tx.init(new_model)
+        count_out = fstate[0].count
+        if multiproc:
+            count_out = jnp.asarray(
+                np.asarray(count_out.addressable_data(0)))
         new0 = ref_state[0]._replace(
-            count=fstate[0].count,
-            mu=unfold(list(fstate[0].mu), zero_tpl()),
-            nu=unfold(list(fstate[0].nu), zero_tpl()),
+            count=count_out,
+            mu=unfold(_to_host(fstate[0].mu), zero_tpl()),
+            nu=unfold(_to_host(fstate[0].nu), zero_tpl()),
         )
         return new_model, (new0,) + tuple(ref_state[1:])
 

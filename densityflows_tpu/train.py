@@ -397,6 +397,61 @@ def make_train_program(
 _STEP_PROGRAM_CACHE: dict = {}
 
 
+def _make_sharded_grads(mesh, plan, tcounts, masks, mask_slots, cparams,
+                        interpret=None):
+    """shard_map'd grads-only step: each device runs the fused kernel on
+    its batch shard with the GLOBAL loss denominator psummed first, then
+    loss/grads psum over ICI — the psummed values equal the
+    single-device computation exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from .ops.pallas_step import run_fused_grads
+
+    if interpret is None:
+        # resolve from the REAL device platform (not default_backend,
+        # which tests monkeypatch to exercise routing on the CPU rig)
+        interpret = jax.devices()[0].platform != "tpu"
+
+    def local_grads(xb, thb, mb, tp):
+        dglob = jax.lax.psum(jnp.sum(mb), "data")
+        loss, grads = run_fused_grads(
+            xb, thb, mb, tuple(tp), tuple(masks), tuple(cparams),
+            plan=plan, tcounts=tuple(tcounts),
+            mask_slots=tuple(mask_slots), tile=min(512, xb.shape[0]),
+            interpret=interpret, denom=dglob)
+        return (jax.lax.psum(loss, "data"),
+                tuple(jax.lax.psum(g, "data") for g in grads))
+
+    return jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # replication through pallas_call is opaque
+    )
+
+
+def make_fused_step_fn(mesh, plan, tcounts, masks, mask_slots, cparams,
+                       *, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8,
+                       interpret=None):
+    """Per-BATCH DP step on the grads-only kernel, for host-driven loops
+    (the streaming trainer's mesh path): shard_map(local kernel) → grad
+    psum → folded Adam. Returns a jitted
+    ``(tp, fstate, xb, thb, mask) -> (tp, fstate, global_loss)``."""
+    import optax
+
+    tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+    sharded = _make_sharded_grads(mesh, plan, tcounts, masks, mask_slots,
+                                  cparams, interpret)
+
+    @jax.jit
+    def step(tp, fstate, xb, thb, mb):
+        loss, grads = sharded(xb, thb, mb, tuple(tp))
+        upd, fstate = tx.update(list(grads), fstate, list(tp))
+        return tuple(p + u for p, u in zip(tp, upd)), fstate, loss
+
+    return step
+
+
 def make_fused_step_mesh_program(
     mesh, plan, tcounts, masks, mask_slots, cparams, batchsize, epochs,
     shuffle=True, n_train=None, n_valid=None, *, lr=1e-3, b1=0.9,
@@ -427,7 +482,7 @@ def make_fused_step_mesh_program(
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from .ops.pallas_step import folded_nll, run_fused_grads
+    from .ops.pallas_step import folded_nll
 
     cache_key = (id(mesh), plan, tuple(tcounts), tuple(mask_slots),
                  batchsize, epochs, shuffle, n_train, n_valid, lr, b1,
@@ -442,27 +497,8 @@ def make_fused_step_mesh_program(
 
     tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
     batch_sharding = NamedSharding(mesh, P("data", None))
-    if interpret is None:
-        # resolve from the REAL device platform (not default_backend,
-        # which tests monkeypatch to exercise routing on the CPU rig)
-        interpret = jax.devices()[0].platform != "tpu"
-
-    def local_grads(xb, thb, mb, tp):
-        dglob = jax.lax.psum(jnp.sum(mb), "data")
-        loss, grads = run_fused_grads(
-            xb, thb, mb, tuple(tp), tuple(masks), tuple(cparams),
-            plan=plan, tcounts=tuple(tcounts),
-            mask_slots=tuple(mask_slots), tile=min(512, xb.shape[0]),
-            interpret=interpret, denom=dglob)
-        return (jax.lax.psum(loss, "data"),
-                tuple(jax.lax.psum(g, "data") for g in grads))
-
-    sharded = jax.shard_map(
-        local_grads, mesh=mesh,
-        in_specs=(P("data", None), P("data", None), P("data"), P()),
-        out_specs=(P(), P()),
-        check_vma=False,  # replication through pallas_call is opaque
-    )
+    sharded = _make_sharded_grads(mesh, plan, tcounts, masks, mask_slots,
+                                  cparams, interpret)
 
     def body(tp, opt_state, x, theta, w, x_valid, theta_valid, w_valid,
              key):
