@@ -839,6 +839,56 @@ def _bench_inference(jax, jnp, df, flow, *, n_particles=1 << 17,
     if rate is None:
         raise RuntimeError("SMC two-point timing stayed jitter-dominated")
 
+    # --- SMC at the WIDE config (d=32 flow density as the target) -----------
+    d_w, n_w, hidden_w, blocks_w = 32, 8, 256, 4
+    rngw = np.random.default_rng(2)
+    x_ref_w = rngw.normal(size=(256, d_w)).astype(np.float32)
+    kw = jax.random.split(jax.random.key(9), blocks_w)
+    chain_w = _damp_final_weights(jax, df, df.flow_chain(
+        *[
+            df.coupling_block(d_w, None, n=n_w, key=k,
+                              hidden_dim_s=hidden_w, hidden_dim_t=hidden_w,
+                              joint_conditioner=True,
+                              zero_init_final=False)
+            for k in kw
+        ],
+        df.normalization_layer(x_ref_w, -1.0, 1.0),
+    ))
+    base_w = df.StandardNormal(d_w)
+    theta_w = jnp.asarray(
+        rngw.uniform(0, 1, size=(n_particles, n_w)).astype(np.float32))
+
+    def log_p_wide(x):
+        z, ldj = chain_w.inverse(x, theta_w)
+        return base_w.log_prob(z) + ldj
+
+    def smc_time_w(n_steps):
+        p, _, _ = df.run_smc(
+            log_p_wide, d=d_w, n_particles=n_particles,
+            n_steps=n_steps, key=jax.random.key(8), n_mh=n_mh)
+        jax.block_until_ready(p)
+
+    lo_w, hi_w = 8, smc_hi
+    smc_time_w(lo_w), smc_time_w(hi_w)
+    rate_w = None
+    for _ in range(4):
+        ds = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            smc_time_w(lo_w)
+            t1 = time.perf_counter()
+            smc_time_w(hi_w)
+            t2 = time.perf_counter()
+            ds.append(((t2 - t1) - (t1 - t0)) / (hi_w - lo_w))
+        d_step = float(np.median(ds))
+        if d_step > 0:
+            rate_w = n_particles / d_step
+            break
+        hi_w *= 2
+        smc_time_w(hi_w)
+    if rate_w is None:
+        raise RuntimeError("wide-SMC two-point timing jitter-dominated")
+
     # --- SNPE weighted-step rate --------------------------------------------
     d_th, n_sum, hidden = 5, 5, 64
     rng = np.random.default_rng(3)
@@ -885,6 +935,10 @@ def _bench_inference(jax, jnp, df, flow, *, n_particles=1 << 17,
         "smc_particle_steps_per_sec": rate,
         "smc_config": f"{n_particles} particles, n_mh={n_mh}, target = "
                       "trained 5-D reference flow log_prob",
+        "smc_wide_particle_steps_per_sec": rate_w,
+        "smc_wide_config": f"{n_particles} particles, n_mh={n_mh}, "
+                           "target = wide d=32 h=256 x4 joint flow "
+                           "log_prob (BASELINE config 3 chain)",
         "snpe_weighted_train_samples_per_sec": snpe_sps,
         "snpe_config": f"5-D posterior | 5 summaries, hidden 64 x3 "
                        f"layers, batch {batch}, importance-weighted NLL",
@@ -1176,6 +1230,9 @@ def main():
                 "smc_particle_steps_per_sec": round(
                     inf["smc_particle_steps_per_sec"], 1),
                 "smc_config": inf["smc_config"],
+                "smc_wide_particle_steps_per_sec": round(
+                    inf.get("smc_wide_particle_steps_per_sec", -1.0), 1),
+                "smc_wide_config": inf.get("smc_wide_config", "FAILED"),
                 "snpe_weighted_train_samples_per_sec": round(
                     inf["snpe_weighted_train_samples_per_sec"], 1),
                 "snpe_config": inf["snpe_config"],
