@@ -343,3 +343,76 @@ def test_chunked_log_prob_matches_straight():
         chain, fl.base, jnp.asarray(xe),
         jnp.broadcast_to(theta_n, (rows, 1)).astype(np.float32)))
     np.testing.assert_allclose(chunked, straight, atol=1e-6)
+
+
+def test_sample_sweep_chunked_routing_equality():
+    """Flow.sample_sweep must produce IDENTICAL draws whether or not the
+    chunked fold routes (same key ⇒ same base draws; the fold is
+    deterministic), and the threshold must be the only thing deciding."""
+    import jax.numpy as jnp
+
+    from densityflows_tpu.models import flow as flow_mod
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(120, 4)).astype(np.float32)
+    th = rng.uniform(-1, 2, size=(120, 2)).astype(np.float32)
+    data = df.DataArrays.make(x, th, rng=0)
+    chain = df.flow_chain(
+        df.coupling_layer(data, [0, 1], key=jax.random.key(0),
+                          hidden_dim_s=8, hidden_dim_t=8),
+        df.normalization_layer(x, -1.0, 1.0),
+    )
+    fl = df.Flow(chain, data)
+    thetas = np.array([[0.2, 0.4], [0.8, 0.1]], np.float32)
+
+    out_plain = np.asarray(fl.sample_sweep(thetas, 4096,
+                                           key=jax.random.key(3)))
+    # force the chunked route by dropping the byte threshold
+    orig = flow_mod._FOLD_CHUNK_BYTES
+    try:
+        flow_mod._FOLD_CHUNK_BYTES = 0
+        assert fl._chunk_fold(2 * 4096)
+        out_chunk = np.asarray(fl.sample_sweep(thetas, 4096,
+                                               key=jax.random.key(3)))
+    finally:
+        flow_mod._FOLD_CHUNK_BYTES = orig
+    np.testing.assert_allclose(out_chunk, out_plain, atol=1e-6)
+
+
+def test_fused_kernel_mode_lifecycle():
+    """flow.fused_kernel_mode starts None, records 'resident' /
+    'resident-chunked' after kernel runs, and is untouched by jnp
+    runs."""
+    import densityflows_tpu.models.fused_train as ft
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(120, 3)).astype(np.float32)
+    data = df.DataArrays.make(x, rng=0)
+
+    def build():
+        return df.Flow(df.flow_chain(
+            df.coupling_layer(data, [0, 1], key=jax.random.key(0),
+                              hidden_dim_s=8, hidden_dim_t=8),
+            df.normalization_layer(x, -1.0, 1.0),
+        ), data)
+
+    fl = build()
+    assert fl.fused_kernel_mode is None
+    df.train(fl, data, epochs=2, verbose=False, key=jax.random.key(1))
+    assert fl.fused_kernel_mode is None  # jnp path (CPU rig)
+
+    fl2 = build()
+    ft.train_fused(fl2, data, epochs=2, verbose=False,
+                   key=jax.random.key(1))
+    assert fl2.fused_kernel_mode == "resident"
+
+    nb = -(-len(data.partition.training) // 64)
+    orig = ft._HBM_SLAB_BUDGET
+    try:
+        ft._HBM_SLAB_BUDGET = 1 * nb * 64 * 3 * 4  # 1 epoch per chunk
+        fl3 = build()
+        ft.train_fused(fl3, data, epochs=3, verbose=False,
+                       key=jax.random.key(1))
+        assert fl3.fused_kernel_mode == "resident-chunked"
+    finally:
+        ft._HBM_SLAB_BUDGET = orig
